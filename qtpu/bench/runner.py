@@ -1,0 +1,256 @@
+"""Config-driven benchmark orchestrator (reference C17,
+benchmark_runner.py:91-743).
+
+Same phases as the reference: setup → raw baseline → per-method quantize +
+eval with per-method error isolation, timing, summary table with
+improvements-vs-raw, and reference-schema JSON persistence. Differences by
+design:
+
+- No per-method model "reload": params are immutable pytrees, so every
+  method starts from the same pristine params by construction (the
+  reference must reload from disk because it mutates modules in place,
+  benchmark_runner.py:266-275).
+- Calibration statistics are collected once and reused across methods
+  (mean-abs, max-abs and optional Hessians come from one capture pass).
+- One extra method "rtn" (plain RTN baseline) beyond the reference's five.
+
+CLI:  python -m qtpu.bench <config.json>
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import traceback
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from qtpu.bench.results import BenchmarkResult
+from qtpu.calib import collect_calibration_stats
+from qtpu.configs import load_config, validate_config
+from qtpu.core.dtypes import MiB, resolve_dtype
+from qtpu.core.sizing import count_params, get_model_size
+from qtpu.data import get_calibration_dataset, get_test_dataset
+from qtpu.eval import evaluate_perplexity
+from qtpu.models import forward, get_model_config, init_params
+from qtpu.quant import quantize_model
+
+METHODS = ("awq", "gptq", "pot", "apot", "smoothquant", "rtn")
+
+
+class QuantizationBenchmark:
+    def __init__(self, config, verbose: bool | None = None):
+        if isinstance(config, (str, bytes)) or hasattr(config, "__fspath__"):
+            config = load_config(config)
+        self.config = validate_config(config)
+        self.verbose = (
+            self.config.get("verbose", True) if verbose is None else verbose
+        )
+        self.model_cfg = None
+        self.params = None
+        self.tokenizer = None
+        self.calib_samples = None
+        self.test_dataset = None
+        self.stats = None
+        self.results: dict[str, BenchmarkResult] = {}
+
+    def log(self, msg: str):
+        if self.verbose:
+            print(msg)
+
+    # ------------------------------------------------------------- setup
+    def setup(self):
+        cfg = self.config
+        self.log(f"Setting up benchmark for {cfg['model_name']}...")
+        self.model_cfg = get_model_config(cfg["model_name"])
+        dtype = resolve_dtype(cfg.get("dtype", "bfloat16"))
+        # offline: random-init weights; HF import would slot in here when a
+        # local checkpoint path is configured (qtpu.models.hf_import)
+        ckpt = cfg.get("checkpoint_path")
+        if ckpt:
+            from qtpu.models.hf_import import load_checkpoint
+
+            self.params, self.tokenizer = load_checkpoint(
+                ckpt, self.model_cfg, dtype
+            )
+        else:
+            self.params = init_params(
+                self.model_cfg, jax.random.PRNGKey(cfg.get("seed", 0)), dtype
+            )
+            self.tokenizer = None
+
+        self.test_dataset = get_test_dataset(
+            self.tokenizer,
+            cfg["test_dataset"],
+            cfg.get("test_dataset_config"),
+            cfg.get("test_split", "test"),
+            n_samples=cfg.get("n_test_samples", 40),
+            block_size=cfg.get("test_block_size", 2048),
+            vocab_size=self.model_cfg.vocab_size,
+        )
+        self.calib_samples = get_calibration_dataset(
+            self.tokenizer,
+            cfg["calibration_dataset"],
+            cfg.get("calibration_dataset_config"),
+            cfg.get("calibration_split", "validation"),
+            n_samples=cfg.get("n_calibration_samples", 256),
+            block_size=cfg.get("calibration_block_size", 512),
+            vocab_size=self.model_cfg.vocab_size,
+        )
+        self.log("Setup complete!")
+
+    def _prepare_activations(self, need_hessian: bool):
+        if self.stats is not None and (
+            not need_hessian or self.stats.hessian is not None
+        ):
+            return
+        self.log("\nCollecting activation statistics...")
+        self.stats = collect_calibration_stats(
+            forward,
+            self.params,
+            [np.asarray(b) for b in self.calib_samples],
+            self.model_cfg,
+            collect_hessian=need_hessian,
+            verbose=self.verbose,
+        )
+
+    # ------------------------------------------------------------ metrics
+    def _original_size_bytes(self) -> int:
+        itemsize = np.dtype(
+            resolve_dtype(self.config.get("dtype", "bfloat16"))
+        ).itemsize
+        return count_params(self.params) * itemsize
+
+    def _fill_size(self, result, data_width, group_size, use_zero_point):
+        size_bits = get_model_size(
+            self.params,
+            data_width=data_width,
+            group_size=group_size,
+            use_zero_point=use_zero_point,
+        )
+        result.model_size_bits = size_bits
+        result.model_size_mb = size_bits / (8 * MiB)
+        orig = self._original_size_bytes()
+        result.bits_per_byte = size_bits / orig if orig > 0 else None
+
+    def _eval(self, params, qmeta=None) -> float:
+        return evaluate_perplexity(
+            params,
+            np.asarray(self.test_dataset),
+            self.model_cfg,
+            n_samples=self.config.get("n_test_samples", 40),
+            block_size=self.config.get("test_block_size", 2048),
+            qmeta=qmeta,
+            verbose=self.verbose,
+        )
+
+    # ------------------------------------------------------- method runs
+    def benchmark_raw_model(self):
+        self.log("\n" + "=" * 80 + "\nEVALUATING RAW MODEL\n" + "=" * 80)
+        result = BenchmarkResult("raw", {})
+        try:
+            start = time.time()
+            result.perplexity = self._eval(self.params)
+            self._fill_size(result, data_width=32, group_size=-1, use_zero_point=True)
+            result.runtime_seconds = time.time() - start
+            self.log(f"✓ {result}")
+        except Exception as e:  # error isolation, reference :243-245
+            result.error = str(e)
+            traceback.print_exc()
+            self.log(f"✗ Raw Model - Error: {e}")
+        self.results["raw"] = result
+        return result
+
+    def benchmark_method(self, method: str):
+        if method not in self.config["quantization_methods"]:
+            return None
+        self.log("\n" + "=" * 80 + f"\nBENCHMARKING {method.upper()}\n" + "=" * 80)
+        mcfg = self.config["quantization_config"][method]
+        result = BenchmarkResult(method, mcfg)
+        try:
+            start = time.time()
+            needs_stats = method in ("awq", "gptq", "smoothquant")
+            stats = None
+            if needs_stats:
+                need_h = method == "gptq" and mcfg.get(
+                    "error_compensation", False
+                ) and mcfg.get("true_hessian", True)
+                self._prepare_activations(need_hessian=need_h)
+                stats = self.stats
+            qparams = quantize_model(self.params, method, mcfg, stats)
+            jax.block_until_ready(qparams)
+            quant_time = time.time() - start
+            self.log(f"  quantization took {quant_time:.2f}s")
+            result.perplexity = self._eval(qparams)
+            self._fill_size(
+                result,
+                data_width=mcfg["w_bit"],
+                group_size=mcfg.get("q_group_size", -1),
+                use_zero_point=method not in ("pot", "apot"),
+            )
+            result.runtime_seconds = time.time() - start
+            self.log(f"✓ {result}")
+        except Exception as e:
+            result.error = str(e)
+            traceback.print_exc()
+            self.log(f"✗ {method} - Error: {e}")
+        self.results[method] = result
+        return result
+
+    # shims matching the reference's per-method entry points
+    def benchmark_awq(self):
+        return self.benchmark_method("awq")
+
+    def benchmark_gptq(self):
+        return self.benchmark_method("gptq")
+
+    def benchmark_pot(self):
+        return self.benchmark_method("pot")
+
+    def benchmark_apot(self):
+        return self.benchmark_method("apot")
+
+    def benchmark_smoothquant(self):
+        return self.benchmark_method("smoothquant")
+
+    def run_all_benchmarks(self):
+        self.setup()
+        self.benchmark_raw_model()
+        for method in METHODS:
+            self.benchmark_method(method)
+        self.print_summary()
+
+    # ---------------------------------------------------------- reporting
+    def print_summary(self):
+        self.log("\n" + "=" * 80 + "\nBENCHMARK SUMMARY\n" + "=" * 80)
+        self.log(f"\nModel: {self.config['model_name']}")
+        self.log(f"Calibration: {self.config['calibration_dataset']}")
+        self.log(f"Test Dataset: {self.config['test_dataset']}")
+        self.log(f"Timestamp: {datetime.now().strftime('%Y-%m-%d %H:%M:%S')}")
+        self.log("-" * 100)
+        for result in self.results.values():
+            self.log(str(result))
+        self.log("-" * 100)
+        raw = self.results.get("raw")
+        if raw and raw.is_success():
+            self.log("\nImprovements vs Raw Model:")
+            for name, result in self.results.items():
+                if name != "raw" and result.is_success():
+                    ppl_deg = (result.perplexity / raw.perplexity - 1) * 100
+                    size_red = (1 - result.model_size_mb / raw.model_size_mb) * 100
+                    self.log(
+                        f"  {name:10s}: PPL {ppl_deg:+6.2f}% | Size -{size_red:6.2f}%"
+                    )
+        self.log("=" * 100 + "\n")
+
+    def save_results(self, output_path: str = "benchmark_results.json"):
+        results_dict = {
+            "timestamp": datetime.now().isoformat(),
+            "config": self.config,
+            "results": {k: v.to_dict() for k, v in self.results.items()},
+        }
+        with open(output_path, "w") as f:
+            json.dump(results_dict, f, indent=2)
+        self.log(f"\nResults saved to {output_path}")

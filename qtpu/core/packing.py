@@ -1,0 +1,163 @@
+"""Packed integer weight storage.
+
+The reference only *simulates* compression (pseudo-quantize in place,
+quantization_utils.py:362-413) and accounts size arithmetically
+(quantization_utils.py:329-355). Here quantized weights are actually stored
+packed: W8 as int8, W4 as two uint4 nibbles per int8 byte, packed along the
+contraction (K) axis so the fused dequant-matmul kernel unpacks contiguous
+K-pairs. Per-group scales are bf16; asymmetric zero-points are stored in the
+quantized integer domain (uint8 holding 4- or 8-bit values).
+
+Weight convention throughout qtpu: W has shape [K_in, N_out] (y = x @ W) and
+quantization groups tile the K axis — the same channels the reference groups
+over (its torch weights are [out, in] grouped over `in`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.core.dtypes import SCALE_DTYPE
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack uint4 values (stored in an int dtype, range [0,15]) pairwise
+    along axis 0 into int8 bytes: byte = low | (high << 4)."""
+    if q.shape[0] % 2 != 0:
+        raise ValueError(f"axis 0 ({q.shape[0]}) must be even to pack int4 pairs")
+    q = q.astype(jnp.uint8)
+    lo = q[0::2]
+    hi = q[1::2]
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4 → uint8 array with values in [0,15], axis 0
+    doubled."""
+    p = packed.astype(jnp.uint8)
+    lo = p & jnp.uint8(0xF)
+    hi = p >> 4
+    # interleave back: out[2i] = lo[i], out[2i+1] = hi[i]
+    out = jnp.stack([lo, hi], axis=1)
+    return out.reshape((-1,) + packed.shape[1:])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantizedTensor:
+    """Packed quantized weight + per-group metadata.
+
+    data:   int8 [K, N] (w8) or [K//2, N] (w4, nibble pairs along K)
+    scales: [K//group, N] (bf16)
+    zeros:  [K//group, N] uint8 quantized zero-points, or None for symmetric
+    bits:   4 or 8
+    group_size: channels of K per scale group (>0)
+    shape:  logical (K, N)
+    """
+
+    data: jnp.ndarray
+    scales: jnp.ndarray
+    zeros: jnp.ndarray | None
+    bits: int
+    group_size: int
+    shape: tuple
+
+    def tree_flatten(self):
+        dyn = (self.data, self.scales, self.zeros)
+        static = (self.bits, self.group_size, self.shape)
+        return dyn, static
+
+    @classmethod
+    def tree_unflatten(cls, static, dyn):
+        data, scales, zeros = dyn
+        bits, group_size, shape = static
+        return cls(data, scales, zeros, bits, group_size, shape)
+
+    @property
+    def symmetric(self) -> bool:
+        return self.zeros is None
+
+    def storage_bits(self) -> int:
+        """Actual stored bits (packed ints + scales + zeros)."""
+        n = 1
+        for d in self.shape:
+            n *= d
+        bits = n * self.bits
+        n_groups = self.scales.size
+        bits += n_groups * 16
+        if self.zeros is not None:
+            bits += n_groups * self.bits
+        return bits
+
+
+def quantize_pack(
+    w: jnp.ndarray,
+    bits: int,
+    group_size: int,
+    symmetric: bool = False,
+) -> QuantizedTensor:
+    """Quantize a [K, N] weight to a packed QuantizedTensor.
+
+    Asymmetric mode matches the reference RTN math
+    (quantization_utils.py:394-405): per-group min/max,
+    scale = (max-min).clamp(1e-5)/(2^b-1), zero = clamp(round(-min/scale)).
+    Symmetric mode matches the GPTQ fallback (gptq_quantizer.py:94-99).
+    """
+    K, N = w.shape
+    g = group_size if group_size > 0 else K
+    if K % g != 0:
+        raise ValueError(f"K={K} not divisible by group_size={g}")
+    wf = w.astype(jnp.float32).reshape(K // g, g, N)
+    max_int = 2**bits - 1
+    if symmetric:
+        # proper symmetric range [-2^(b-1), 2^(b-1)-1], stored biased to the
+        # unsigned domain so w4 packing is uniform across modes
+        pos_max = 2 ** (bits - 1) - 1
+        absmax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
+        scales = jnp.clip(absmax / pos_max, 1e-5, None)
+        q = jnp.clip(jnp.round(wf / scales), -pos_max - 1, pos_max)
+        offset = 2 ** (bits - 1)
+        store = q + offset  # [0, 2^b - 1]
+        zeros = None
+    else:
+        max_val = jnp.max(wf, axis=1, keepdims=True)
+        min_val = jnp.min(wf, axis=1, keepdims=True)
+        scales = jnp.clip(max_val - min_val, 1e-5, None) / max_int
+        zp = jnp.clip(jnp.round(-min_val / scales), 0, max_int)
+        store = jnp.clip(jnp.round(wf / scales) + zp, 0, max_int)
+        zeros = zp.reshape(K // g, N).astype(jnp.uint8)
+    store = store.reshape(K, N)
+    scales2 = scales.reshape(K // g, N).astype(SCALE_DTYPE)
+    if bits == 4:
+        data = pack_int4(store.astype(jnp.uint8))
+    elif bits == 8:
+        data = (store.astype(jnp.int32) - 128).astype(jnp.int8)
+    else:
+        raise ValueError(f"packed storage supports bits in (4, 8), got {bits}")
+    return QuantizedTensor(
+        data=data, scales=scales2, zeros=zeros, bits=bits, group_size=g, shape=(K, N)
+    )
+
+
+@partial(jax.jit, static_argnames=("out_dtype",))
+def dequantize(qt: QuantizedTensor, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Reference (non-Pallas) dequantization of a QuantizedTensor → [K, N]."""
+    K, N = qt.shape
+    g = qt.group_size
+    if qt.bits == 4:
+        qu = unpack_int4(qt.data).astype(jnp.int32)  # [K, N] in [0,15]
+    else:
+        qu = qt.data.astype(jnp.int32) + 128  # back to [0,255]
+    qu = qu.reshape(K // g, g, N)
+    scales = qt.scales.astype(jnp.float32).reshape(K // g, 1, N)
+    if qt.zeros is not None:
+        zeros = qt.zeros.astype(jnp.int32).reshape(K // g, 1, N)
+        w = (qu - zeros).astype(jnp.float32) * scales
+    else:
+        offset = 2 ** (qt.bits - 1)
+        w = (qu - offset).astype(jnp.float32) * scales
+    return w.reshape(K, N).astype(out_dtype)

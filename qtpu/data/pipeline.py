@@ -1,0 +1,92 @@
+"""Calibration/test dataset pipelines (reference C4 + C5).
+
+Reproduces the reference preprocessing exactly when HF datasets are
+available (quantization_utils.py:104-197): seed-42 shuffle, blank-line and
+len>block_size filters, concatenate-then-resplit into fixed blocks for
+calibration; "\n\n"-joined single tokenization for test. When the dataset
+is "synthetic" (or HF loading fails — this container has zero egress), a
+deterministic synthetic corpus with the same shapes is used instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from qtpu.data.synthetic import synthetic_blocks, synthetic_token_stream
+
+
+def get_calibration_dataset(
+    tokenizer,
+    dataset_name: str,
+    dataset_config,
+    split: str,
+    n_samples: int = 256,
+    block_size: int = 512,
+    vocab_size: int | None = None,
+    seed: int = 42,
+) -> list[np.ndarray]:
+    """Returns a list of [1, block_size] int32 arrays."""
+    if dataset_name == "synthetic" or tokenizer is None:
+        if vocab_size is None:
+            raise ValueError("synthetic calibration needs vocab_size")
+        return synthetic_blocks(vocab_size, n_samples, block_size, seed)
+
+    from datasets import load_dataset
+
+    if dataset_config is None:
+        dataset = load_dataset(dataset_name, split=split)
+    else:
+        dataset = load_dataset(dataset_name, dataset_config, split=split)
+    dataset = dataset.shuffle(seed=seed)
+
+    samples = []
+    n_run = 0
+    for data in dataset:
+        line = data["text"].strip()
+        if not line:
+            continue
+        encoded = tokenizer.encode(line)
+        if len(encoded) > block_size:
+            continue
+        if len(encoded) == 0:
+            continue
+        samples.append(np.asarray([encoded], np.int32))
+        n_run += 1
+        if n_run == n_samples:
+            break
+    if not samples:
+        raise ValueError("No valid samples found in dataset")
+    cat = np.concatenate(samples, axis=1)
+    n_split = cat.shape[1] // block_size
+    return [
+        cat[:, i * block_size : (i + 1) * block_size] for i in range(n_split)
+    ]
+
+
+def get_test_dataset(
+    tokenizer,
+    dataset_name: str,
+    dataset_config,
+    split: str,
+    n_samples: int = 40,
+    block_size: int = 2048,
+    vocab_size: int | None = None,
+    seed: int = 1234,
+) -> np.ndarray:
+    """Returns a single [1, N] int32 token stream."""
+    if dataset_name == "synthetic" or tokenizer is None:
+        if vocab_size is None:
+            raise ValueError("synthetic test set needs vocab_size")
+        return synthetic_token_stream(
+            vocab_size, n_samples * block_size, seed
+        )
+
+    from datasets import load_dataset
+
+    if dataset_config is None:
+        dataset = load_dataset(dataset_name, split=split)
+    else:
+        dataset = load_dataset(dataset_name, dataset_config, split=split)
+    text_data = "\n\n".join(dataset["text"])
+    ids = tokenizer(text_data, return_tensors="np").input_ids
+    return ids.astype(np.int32)

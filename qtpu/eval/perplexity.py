@@ -1,0 +1,58 @@
+"""Perplexity evaluation (reference C14) — exact reference math.
+
+Reproduces quantization_utils.py:269-322 idiosyncrasies precisely
+(SURVEY §7.4 "exact ppl parity"):
+  - the token stream is sliced into non-overlapping `block_size` blocks
+  - logits are cast to fp32 BEFORE the shifted cross-entropy (:309)
+  - per-block nll = mean-token-loss × block_size (:318) — i.e. the final
+    (block_size−1) mean is rescaled by block_size, exactly as the reference
+  - ppl = exp(Σ nll / (n_samples · block_size)) (:321)
+
+The per-block forwards are independent, so under a mesh the blocks shard
+over the `data` axis (embarrassingly parallel, identical math).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("cfg", "qmeta"))
+def _block_nll(params, batch, cfg, qmeta=None):
+    """Mean shifted cross-entropy of one [1, B] block (fp32), reference
+    style: loss over B−1 positions."""
+    from qtpu.models.llama import forward
+
+    logits = forward(params, batch, cfg, qmeta=qmeta)  # fp32 [1, B, V]
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = batch[:, 1:]
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll_tok = -jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)
+    return jnp.mean(nll_tok)
+
+
+def evaluate_perplexity(
+    params,
+    test_ids: jnp.ndarray,
+    cfg,
+    n_samples: int = 40,
+    block_size: int = 2048,
+    qmeta=None,
+    verbose: bool = False,
+) -> float:
+    """test_ids: [1, N] token stream. Returns scalar perplexity."""
+    nlls = []
+    for i in range(n_samples):
+        batch = test_ids[:, i * block_size : (i + 1) * block_size]
+        if batch.shape[1] < block_size:
+            break
+        loss = _block_nll(params, batch, cfg, qmeta)
+        nlls.append(loss * block_size)
+        if verbose and (i + 1) % 8 == 0:
+            print(f"  eval block {i + 1}/{n_samples}")
+    total = jnp.sum(jnp.stack(nlls))
+    ppl = jnp.exp(total / (len(nlls) * block_size))
+    return float(ppl)

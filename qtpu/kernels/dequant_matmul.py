@@ -1,0 +1,64 @@
+"""Fused dequantize + matmul for packed INT4/INT8 weights.
+
+This is the serving hot path the reference does not have (it only
+pseudo-quantizes in place, quantization_utils.py:362-413). Two
+implementations with one entry point:
+
+- `quantized_matmul` — public op. On TPU it calls the Pallas kernel for
+  supported shapes; elsewhere (CPU tests) or for odd shapes it falls back to
+  the XLA reference path, which unpacks + dequantizes and lets XLA fuse the
+  elementwise work into the matmul.
+
+Layout contract (qtpu.core.packing): W logical [K, N]; w4 packs K-pairs into
+int8 bytes; scales [K/g, N] bf16; zeros [K/g, N] uint8 (quantized domain,
+asymmetric) or None (symmetric, offset 2^(b−1)); w8 data stored biased by
+−128 so the int8 container is centered.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.core.packing import unpack_int4
+
+
+def _dequant_ref(data, scales, zeros, bits, group_size, K, N, out_dtype):
+    if bits == 4:
+        qu = unpack_int4(data).astype(jnp.int32)
+    else:
+        qu = data.astype(jnp.int32) + 128
+    qu = qu.reshape(K // group_size, group_size, N)
+    s = scales.astype(jnp.float32).reshape(K // group_size, 1, N)
+    if zeros is not None:
+        z = zeros.astype(jnp.int32).reshape(K // group_size, 1, N)
+    else:
+        z = 2 ** (bits - 1)
+    w = (qu - z).astype(jnp.float32) * s
+    return w.reshape(K, N).astype(out_dtype)
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def _quantized_matmul_ref(x, data, scales, zeros, meta):
+    bits, group_size, K, N = meta
+    w = _dequant_ref(data, scales, zeros, bits, group_size, K, N, x.dtype)
+    return x @ w
+
+
+def quantized_matmul(x, data, scales, zeros, meta):
+    """y = x @ dequant(data, scales, zeros). meta = (bits, group, K, N).
+
+    x: [..., K]; returns [..., N].
+    """
+    bits, group_size, K, N = meta
+    # trace-time dispatch: the jitted program is built for one backend
+    if jax.default_backend() == "tpu":
+        try:
+            from qtpu.kernels.pallas_dequant_matmul import pallas_quantized_matmul
+
+            return pallas_quantized_matmul(x, data, scales, zeros, meta)
+        except NotImplementedError:
+            pass
+    return _quantized_matmul_ref(x, data, scales, zeros, meta)

@@ -1,0 +1,130 @@
+"""HF checkpoint import (reference C3, quantization_utils.py:48-89).
+
+Maps a local HuggingFace Llama-family checkpoint (safetensors or torch
+.bin) into qtpu's stacked-layer pytree. This container has no network
+egress, so unlike the reference's from_pretrained(model_name) this takes a
+LOCAL directory; the name→tensor mapping covers the
+LlamaForCausalLM layout used by TinyLlama/Llama-2/Llama-3.
+
+Note orientation: HF linear weights are [out, in]; qtpu stores [in, out],
+so every projection is transposed on import.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from qtpu.models.config import ModelConfig
+
+
+def _load_state_dict(ckpt_dir: str) -> dict:
+    """Load all tensors from safetensors shards or torch bins, as numpy."""
+    d = Path(ckpt_dir)
+    tensors = {}
+    st_files = sorted(d.glob("*.safetensors"))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            tensors.update(load_file(str(f)))
+        return tensors
+    bin_files = sorted(d.glob("pytorch_model*.bin"))
+    if bin_files:
+        import torch
+
+        for f in bin_files:
+            sd = torch.load(str(f), map_location="cpu", weights_only=True)
+            for k, v in sd.items():
+                tensors[k] = v.float().numpy()
+        return tensors
+    raise FileNotFoundError(f"no safetensors/bin checkpoints in {ckpt_dir}")
+
+
+def config_from_hf(ckpt_dir: str) -> ModelConfig:
+    """Build a ModelConfig from a local HF config.json."""
+    with open(os.path.join(ckpt_dir, "config.json")) as f:
+        hf = json.load(f)
+    head_dim = hf.get(
+        "head_dim", hf["hidden_size"] // hf["num_attention_heads"]
+    )
+    return ModelConfig(
+        arch="llama",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+        head_dim=head_dim,
+        rope_theta=hf.get("rope_theta", 10000.0),
+        norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_seq_len=hf.get("max_position_embeddings", 2048),
+        tie_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+def load_llama_params(
+    ckpt_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16
+) -> dict:
+    """HF LlamaForCausalLM state dict → qtpu stacked pytree."""
+    sd = _load_state_dict(ckpt_dir)
+    L = cfg.num_layers
+
+    def get(name):
+        return np.asarray(sd[name])
+
+    def stack_T(fmt):
+        # linear weights: HF [out, in] → qtpu [in, out], stacked over layers
+        return jnp.asarray(
+            np.stack([get(fmt.format(i)).T for i in range(L)]), dtype
+        )
+
+    def stack(fmt):
+        return jnp.asarray(
+            np.stack([get(fmt.format(i)) for i in range(L)]), dtype
+        )
+
+    prefix = "model.layers.{}."
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
+        "layers": {
+            "attn_norm": stack(prefix + "input_layernorm.weight"),
+            "mlp_norm": stack(prefix + "post_attention_layernorm.weight"),
+            "q_proj": {"w": stack_T(prefix + "self_attn.q_proj.weight")},
+            "k_proj": {"w": stack_T(prefix + "self_attn.k_proj.weight")},
+            "v_proj": {"w": stack_T(prefix + "self_attn.v_proj.weight")},
+            "o_proj": {"w": stack_T(prefix + "self_attn.o_proj.weight")},
+            "gate_proj": {"w": stack_T(prefix + "mlp.gate_proj.weight")},
+            "up_proj": {"w": stack_T(prefix + "mlp.up_proj.weight")},
+            "down_proj": {"w": stack_T(prefix + "mlp.down_proj.weight")},
+        },
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+    }
+    if cfg.tie_embeddings or "lm_head.weight" not in sd:
+        params["lm_head"] = {"w": params["embed"].T}
+    else:
+        params["lm_head"] = {
+            "w": jnp.asarray(get("lm_head.weight").T, dtype)
+        }
+    return params
+
+
+def load_checkpoint(ckpt_dir: str, cfg: ModelConfig | None = None, dtype=jnp.bfloat16):
+    """(params, tokenizer) from a local checkpoint directory. Tokenizer is
+    loaded with transformers if tokenizer files are present, else None."""
+    if cfg is None:
+        cfg = config_from_hf(ckpt_dir)
+    params = load_llama_params(ckpt_dir, cfg, dtype)
+    tokenizer = None
+    if os.path.exists(os.path.join(ckpt_dir, "tokenizer_config.json")) or os.path.exists(
+        os.path.join(ckpt_dir, "tokenizer.model")
+    ):
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(ckpt_dir, use_fast=False)
+    return params, tokenizer

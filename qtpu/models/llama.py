@@ -1,0 +1,201 @@
+"""Functional Llama-family decoder (RMSNorm + RoPE + GQA + SwiGLU).
+
+Replaces the reference's HF torch model (loaded at
+quantization_utils.py:48-89) with a pure-function JAX model: params are a
+pytree with all layers STACKED on a leading axis and the forward is a
+`lax.scan` over layers — one traced layer body regardless of depth, which
+keeps compile time flat and makes per-layer quantization a `vmap`.
+
+Calibration "hooks" are capture modes of the forward (SURVEY §7.1): the
+reference's forward hooks (quantization_utils.py:226-245) become explicitly
+returned per-layer channel statistics; `capture="hessian"` additionally
+returns per-site XᵀX for true GPTQ.
+
+Param layout (linears are [in, out], quantization groups tile the input
+axis — the same channels the reference groups over):
+  embed        [V, D]
+  layers/attn_norm [L, D]          layers/mlp_norm [L, D]
+  layers/q_proj {"w": [L, D, H·hd]}   (or packed; see qtpu.models.ops.linear)
+  layers/k_proj, v_proj [L, D, KV·hd]; o_proj [L, H·hd, D]
+  layers/gate_proj, up_proj [L, D, F]; down_proj [L, F, D]
+  final_norm   [D]
+  lm_head      {"w": [D, V]}
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.models.config import ModelConfig
+from qtpu.models.ops import (
+    apply_rope,
+    channel_stats,
+    input_hessian,
+    linear,
+    rms_norm,
+    rope_tables,
+)
+
+# linear sites per llama layer; stats are collected per *input site* (q/k/v
+# share one input, gate/up share one) and fanned out to per-linear names by
+# the calibration layer to mirror reference naming.
+LAYER_SITES = (
+    "q_proj",
+    "k_proj",
+    "v_proj",
+    "o_proj",
+    "gate_proj",
+    "up_proj",
+    "down_proj",
+)
+INPUT_SITES = ("attn_in", "o_in", "mlp_in", "down_in", "head_in")
+SITE_OF_INPUT = {
+    "attn_in": ("q_proj", "k_proj", "v_proj"),
+    "o_in": ("o_proj",),
+    "mlp_in": ("gate_proj", "up_proj"),
+    "down_in": ("down_proj",),
+    "head_in": ("lm_head",),
+}
+
+
+def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
+    """Random-normal initialized params (std 0.02, like GPT-style init).
+    Offline stand-in for HF checkpoints (downloads are unavailable here);
+    real weights come via qtpu.models.hf_import."""
+    k = jax.random.split(key, 12)
+    D, F, V, L = (
+        cfg.hidden_size,
+        cfg.intermediate_size,
+        cfg.vocab_size,
+        cfg.num_layers,
+    )
+    Q, KV = cfg.q_dim, cfg.kv_dim
+
+    def w(key, *shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    params = {
+        "embed": w(k[0], V, D),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "mlp_norm": jnp.ones((L, D), dtype),
+            "q_proj": {"w": w(k[1], L, D, Q)},
+            "k_proj": {"w": w(k[2], L, D, KV)},
+            "v_proj": {"w": w(k[3], L, D, KV)},
+            "o_proj": {"w": w(k[4], L, Q, D)},
+            "gate_proj": {"w": w(k[5], L, D, F)},
+            "up_proj": {"w": w(k[6], L, D, F)},
+            "down_proj": {"w": w(k[7], L, F, D)},
+        },
+        "final_norm": jnp.ones((D,), dtype),
+        "lm_head": {"w": w(k[8], D, V)},
+    }
+    return params
+
+
+def _attention(q, k, v, cfg: ModelConfig, mask):
+    """q [B,S,H,hd], k/v [B,S,KV,hd] → [B,S,H·hd]. GQA by head repeat."""
+    B, S, H, hd = q.shape
+    KV = k.shape[2]
+    if KV != H:
+        rep = H // KV
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(float(hd))
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v)
+    return out.reshape(B, S, H * hd)
+
+
+def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
+    """One decoder layer. Returns (x_out, stats dict or None).
+
+    qmeta: None, or a dict site → (bits, group, K, N) for sites whose
+    params are packed (static at trace time)."""
+    cos, sin = rope
+    B, S, D = x.shape
+    stats = {}
+    qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
+
+    h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+    if capture != "none":
+        stats["attn_in"] = _collect(h, capture)
+    q = linear(h, lp["q_proj"], qm("q_proj")).reshape(
+        B, S, cfg.num_heads, cfg.head_dim
+    )
+    k = linear(h, lp["k_proj"], qm("k_proj")).reshape(
+        B, S, cfg.num_kv_heads, cfg.head_dim
+    )
+    v = linear(h, lp["v_proj"], qm("v_proj")).reshape(
+        B, S, cfg.num_kv_heads, cfg.head_dim
+    )
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = _attention(q, k, v, cfg, mask)
+    if capture != "none":
+        stats["o_in"] = _collect(attn, capture)
+    x = x + linear(attn, lp["o_proj"], qm("o_proj"))
+
+    h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+    if capture != "none":
+        stats["mlp_in"] = _collect(h, capture)
+    gate = linear(h, lp["gate_proj"], qm("gate_proj"))
+    up = linear(h, lp["up_proj"], qm("up_proj"))
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    if capture != "none":
+        stats["down_in"] = _collect(act, capture)
+    x = x + linear(act, lp["down_proj"], qm("down_proj"))
+    return x, (stats if capture != "none" else None)
+
+
+def _collect(x, capture: str):
+    mean_abs, max_abs = channel_stats(x)
+    out = {"mean_abs": mean_abs, "max_abs": max_abs}
+    if capture == "hessian":
+        out["hessian"] = input_hessian(x)
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "capture", "qmeta"))
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,
+    cfg: ModelConfig,
+    capture: str = "none",
+    qmeta=None,
+):
+    """Full-sequence causal forward.
+
+    input_ids [B, S] → logits [B, S, V]. With capture != "none" also returns
+    a stats pytree: {input_site: {stat: [L, ...]}} stacked over layers.
+    qmeta: optional tuple of (site, (bits, group, K, N)) pairs for packed
+    sites — hashable so it can be a static jit arg.
+    """
+    qmeta_d = dict(qmeta) if qmeta is not None else None
+    B, S = input_ids.shape
+    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    positions = jnp.arange(S)
+    rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    mask = jnp.tril(jnp.ones((S, S), bool))[None, None, :, :]
+
+    def body(x, lp):
+        x_out, stats = _layer_fwd(x, lp, cfg, rope, mask, capture, qmeta_d)
+        return x_out, stats
+
+    x, layer_stats = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    qmh = None if qmeta_d is None else qmeta_d.get("lm_head")
+    logits = linear(x, params["lm_head"], qmh).astype(jnp.float32)
+    if capture == "none":
+        return logits
+    # lm_head input stats (the reference's hooks see every nn.Linear,
+    # including the LM head — quantization_utils.py:238-245)
+    layer_stats = dict(layer_stats)
+    layer_stats["head_in"] = _collect(x, capture)
+    return logits, layer_stats

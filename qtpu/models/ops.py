@@ -1,0 +1,89 @@
+"""Shared functional NN ops: norms, RoPE, and the quantization-aware linear.
+
+The linear op is the single device boundary every quantization scheme plugs
+into: a layer's params are either {"w": dense [K, N]} or packed
+{"data", "scales", "zeros"(opt)} (see qtpu.core.packing), optionally with a
+SmoothQuant input-smoothing vector {"smooth": [K]}. Packed weights dispatch
+to the fused dequant-matmul (Pallas on TPU, jnp reference elsewhere).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.kernels.dequant_matmul import quantized_matmul
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float
+) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float):
+    """cos/sin tables for HF-style rotate-half RoPE. positions [S] (or [B,S])
+    → cos,sin [..., S, head_dim]."""
+    inv_freq = 1.0 / (
+        theta
+        ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [S, hd/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x [..., S, H, hd]; cos/sin [..., S, hd] broadcast over heads."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[..., :, None, :]
+    s = sin[..., :, None, :]
+    return (x.astype(jnp.float32) * c + rotated.astype(jnp.float32) * s).astype(
+        x.dtype
+    )
+
+
+def linear(x: jnp.ndarray, p: dict, site_meta=None) -> jnp.ndarray:
+    """Quantization-aware linear: y = maybe_smooth(x) @ W.
+
+    p: {"w": [K, N]} dense, or packed {"data", "scales", "zeros"(opt)} with
+    site_meta = (bits, group_size, K, N); either may carry "smooth": [K].
+    """
+    if "smooth" in p:
+        x = x * p["smooth"].astype(x.dtype)
+    if "w" in p:
+        return x @ p["w"].astype(x.dtype)
+    return quantized_matmul(
+        x, p["data"], p["scales"], p.get("zeros"), site_meta
+    )
+
+
+def channel_stats(x: jnp.ndarray):
+    """(mean|x|, max|x|) per trailing channel — the two collectors of the
+    reference (quantization_utils.py:226-236; smooth_quant_quantizer.py:54-74),
+    computed inside the jitted forward instead of via hooks."""
+    xf = jnp.abs(x.reshape(-1, x.shape[-1]).astype(jnp.float32))
+    return jnp.mean(xf, axis=0), jnp.max(xf, axis=0)
+
+
+def input_hessian(x: jnp.ndarray) -> jnp.ndarray:
+    """XᵀX over flattened tokens — the true GPTQ Hessian contribution of one
+    batch (the reference only ever builds a mean-abs proxy,
+    gptq_quantizer.py:133-144)."""
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    return xf.T @ xf

@@ -1,0 +1,111 @@
+"""Additive Power-of-Two (APOT) quantization (reference C12).
+
+Behavioral model (pot_apot_quantizer.py:138-374): build a codebook of
+levels, each a sum of n = max(1, n_bit//k) power-of-two terms where term i
+draws from {0, 2^−i, 2^−(i+n), …}; normalize to max 1; symmetrize ±; cap at
+32 levels by linspace subsampling; then per row-group grid-search a scale
+s = s₀·c (s₀ = clamp(max|w|, 1e−5)) minimizing SSE of nearest-level
+assignment.
+
+TPU-first design: codebook generation is tiny host-side Python (as in the
+reference); the hot nearest-level assignment avoids the reference's
+[rows, cols, n_levels] distance tensor (it chunks columns to dodge OOM,
+pot_apot_quantizer.py:266-298) by exploiting sortedness: a vectorized
+`searchsorted` + adjacent-neighbor compare is O(log L) per element with O(1)
+temp memory, and the candidate grid is a jitted `lax.scan`. Ties resolve to
+the lower level index, matching torch.argmin's first-occurrence rule.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def generate_apot_levels(n: int, k: int) -> np.ndarray:
+    """All (2^k)^n additive-power-of-two sums, deduplicated and sorted
+    ascending (unsigned). Host-side; the result is a small constant."""
+    num_choices = 2**k
+    per_term = []
+    for i in range(n):
+        vals = [0.0]
+        for j in range(1, num_choices):
+            vals.append(2.0 ** (-(i + (j - 1) * n)))
+        per_term.append(vals)
+    sums = {float(sum(combo)) for combo in itertools.product(*per_term)}
+    return np.array(sorted(sums), dtype=np.float32)
+
+
+def full_apot_codebook(n_bit: int, k: int, max_levels: int = 32) -> np.ndarray:
+    """Signed, normalized, capped codebook: {-L reversed, 0, +L}, max |v| = 1,
+    subsampled by linspace if longer than max_levels."""
+    n = max(1, n_bit // k)
+    levels = generate_apot_levels(n, k)
+    mx = levels.max()
+    if mx > 0:
+        levels = levels / mx
+    pos = levels[levels > 0]
+    full = np.concatenate([-pos[::-1], [0.0], pos]).astype(np.float32)
+    if full.size > max_levels:
+        idx = np.linspace(0, full.size - 1, max_levels).astype(np.int64)
+        full = full[idx]
+    return full
+
+
+def _nearest_level(x: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:
+    """Map each element of x to its nearest codebook level (levels sorted
+    ascending). Ties go to the lower index (torch.argmin parity)."""
+    idx = jnp.searchsorted(levels, x)  # levels[idx-1] < x <= levels[idx]
+    lo = jnp.clip(idx - 1, 0, levels.size - 1)
+    hi = jnp.clip(idx, 0, levels.size - 1)
+    lv_lo = levels[lo]
+    lv_hi = levels[hi]
+    pick_lo = jnp.abs(x - lv_lo) <= jnp.abs(x - lv_hi)
+    return jnp.where(pick_lo, lv_lo, lv_hi)
+
+
+@partial(jax.jit, static_argnames=("n_bit", "q_group_size", "k", "grid"))
+def apot_quantize_tensor(
+    w: jnp.ndarray,
+    n_bit: int = 4,
+    q_group_size: int = -1,
+    k: int = 2,
+    grid: tuple = (0.01, 2.01, 0.05),
+) -> jnp.ndarray:
+    """APOT fake-quantize a tensor; returns same shape/dtype."""
+    orig_shape = w.shape
+    orig_dtype = w.dtype
+    if q_group_size > 0:
+        if orig_shape[-1] % q_group_size != 0:
+            raise ValueError(
+                f"last dim {orig_shape[-1]} % group {q_group_size} != 0"
+            )
+        w = w.reshape(-1, q_group_size)
+    w = w.astype(jnp.float32)
+
+    levels = jnp.asarray(full_apot_codebook(n_bit, k))
+
+    s0 = jnp.clip(jnp.max(jnp.abs(w), axis=1, keepdims=True), 1e-5, None)
+    start, stop, step = grid
+    candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
+
+    def scan_step(carry, c):
+        best_err, best_scale = carry
+        s_c = s0 * c
+        w_q = s_c * _nearest_level(w / s_c, levels)
+        err = jnp.sum((w - w_q) ** 2, axis=1, keepdims=True)
+        take = err < best_err
+        return (
+            jnp.where(take, err, best_err),
+            jnp.where(take, s_c, best_scale),
+        ), None
+
+    init = (jnp.full((w.shape[0], 1), jnp.inf, jnp.float32), s0)
+    (_, best_scale), _ = jax.lax.scan(scan_step, init, candidates)
+
+    w_q = best_scale * _nearest_level(w / best_scale, levels)
+    return w_q.reshape(orig_shape).astype(orig_dtype)

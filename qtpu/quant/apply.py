@@ -1,0 +1,297 @@
+"""Model-level quantization: params pytree → quantized params pytree.
+
+The reference mutates torch modules in place, looping over named_modules
+(e.g. awq_quantizer.py:50-84). Here "quantize the model" is a pure
+transformation over the stacked-layer param pytree: per linear site, a
+`vmap` (or memory-bounded `lax.map`) over the layer axis applies the
+per-tensor quantizer. Weights live as [L, K_in, N_out]; quantizers operate
+in reference orientation [out, in], so sites are transposed in and out.
+
+Fake-quantized output (default) reproduces the reference's evaluation
+semantics exactly; `pack_model` converts RTN-compatible schemes
+(rtn/awq/smoothquant) to really-packed int4/int8 params for the serving
+path, folding AWQ's protection scales and SmoothQuant's smoothing vector
+into per-site input "smooth" multipliers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.calib.stats import CalibStats
+from qtpu.core.packing import quantize_pack
+from qtpu.models.llama import LAYER_SITES, SITE_OF_INPUT
+from qtpu.quant.apot import apot_quantize_tensor
+from qtpu.quant.awq import _protection_scale_vec, awq_quantize, awq_search_scale_factor
+from qtpu.quant.gptq import (
+    _parity_column_quantize,
+    build_proxy_hessian,
+    gptq_quantize_layer,
+)
+from qtpu.quant.pot import pot_quantize_tensor
+from qtpu.quant.rtn import pseudo_quantize
+from qtpu.quant.smoothquant import compute_smoothing_scales, search_alpha, smooth_weights
+
+ALL_SITES = LAYER_SITES + ("lm_head",)
+
+
+def _input_site_of(linear_site: str) -> str:
+    for in_site, linears in SITE_OF_INPUT.items():
+        if linear_site in linears:
+            return in_site
+    raise KeyError(linear_site)
+
+
+def _grid(mcfg: dict, default_step: float) -> tuple:
+    lo, hi = mcfg.get("grid_search_range", [0.01, 2.01])
+    step = mcfg.get("grid_step", default_step)
+    return (float(lo), float(hi), float(step))
+
+
+def _map_sites(params: dict, fn):
+    """Apply fn(site, w_kn, has_layer_axis) to every linear site's dense
+    weight; returns a new params pytree (norms/embeddings untouched)."""
+    new = dict(params)
+    new_layers = dict(params["layers"])
+    for site in LAYER_SITES:
+        new_layers[site] = fn(site, params["layers"][site]["w"], True)
+    new["layers"] = new_layers
+    new["lm_head"] = fn("lm_head", params["lm_head"]["w"], False)
+    return new
+
+
+def quantize_model(
+    params: dict,
+    method: str,
+    mcfg: dict,
+    stats: CalibStats | None = None,
+) -> dict:
+    """Fake-quantize every linear site of a model with `method`.
+
+    mcfg is the per-method quantization_config dict (reference schema).
+    Returns a new params pytree; for smoothquant the sites also carry the
+    per-input-channel "smooth" vector that keeps the network numerically
+    equivalent (the reference's forward pre-hook,
+    smooth_quant_quantizer.py:178-199).
+    """
+    w_bit = int(mcfg["w_bit"])
+    g = int(mcfg.get("q_group_size", -1))
+
+    if method == "rtn":
+
+        def fn(site, w, has_l):
+            q = _vt(pseudo_quantize, w, has_l, n_bit=w_bit, q_group_size=g)
+            return {"w": q}
+
+    elif method == "pot":
+        grid = _grid(mcfg, 0.01)
+
+        def fn(site, w, has_l):
+            q = _vt(
+                pot_quantize_tensor, w, has_l, n_bit=w_bit, q_group_size=g, grid=grid
+            )
+            return {"w": q}
+
+    elif method == "apot":
+        grid = _grid(mcfg, 0.05)
+        k = int(mcfg.get("k", 2))
+
+        def fn(site, w, has_l):
+            q = _vt(
+                apot_quantize_tensor,
+                w,
+                has_l,
+                n_bit=w_bit,
+                q_group_size=g,
+                k=k,
+                grid=grid,
+            )
+            return {"w": q}
+
+    elif method == "awq":
+        if stats is None:
+            raise ValueError("awq requires calibration stats")
+        protect = float(mcfg.get("protect_ratio", 0.01))
+        sf = float(mcfg.get("scale_factor", 1.0))
+        do_search = bool(mcfg.get("search_scale", False))
+
+        def fn(site, w, has_l):
+            imp = stats.importance(_input_site_of(site))
+
+            def one(w_kn, imp_l):
+                w_oi = w_kn.T
+                sf_l = (
+                    awq_search_scale_factor(
+                        w_oi, imp_l, w_bit, g, protect
+                    )
+                    if do_search
+                    else sf
+                )
+                return awq_quantize(w_oi, imp_l, w_bit, g, protect, sf_l).T
+
+            q = jax.vmap(one)(w, imp) if has_l else one(w, imp)
+            return {"w": q}
+
+    elif method == "gptq":
+        if stats is None:
+            raise ValueError("gptq requires calibration stats")
+        comp = bool(mcfg.get("error_compensation", False))
+        actorder = bool(mcfg.get("actorder", False))
+        damp = float(mcfg.get("perp_damp", 0.01))
+        blocksize = int(mcfg.get("blocksize", 128))
+        nsamples = int(mcfg.get("nsamples", 128))
+
+        def fn(site, w, has_l):
+            in_site = _input_site_of(site)
+            if not comp:
+                # parity mode: order-independent per-column symmetric quant
+                def one(w_kn):
+                    return _parity_column_quantize(w_kn.T, w_bit).T
+
+                q = jax.vmap(one)(w) if has_l else one(w)
+                return {"w": q}
+
+            if stats.hessian is not None and in_site in stats.hessian:
+                H_all = stats.hessian[in_site]
+            else:
+                mv = stats.mean_abs[in_site][:nsamples]  # [S, L, C] | [S, C]
+                if has_l:
+                    H_all = jax.vmap(build_proxy_hessian, in_axes=1)(mv, )
+                else:
+                    H_all = build_proxy_hessian(mv)
+
+            def one(w_kn, H):
+                return gptq_quantize_layer(
+                    w_kn.T,
+                    H,
+                    w_bit,
+                    q_group_size=g,
+                    perp_damp=damp,
+                    blocksize=blocksize,
+                    actorder=actorder,
+                    error_compensation=True,
+                ).T
+
+            if has_l:
+                # lax.map: sequential over layers to bound C×C memory
+                q = jax.lax.map(lambda args: one(*args), (w, H_all))
+            else:
+                q = one(w, H_all)
+            return {"w": q}
+
+    elif method == "smoothquant":
+        if stats is None:
+            raise ValueError("smoothquant requires calibration stats")
+        alpha = mcfg.get("alpha", 0.5)
+        do_search = bool(mcfg.get("search_alpha", False))
+
+        def fn(site, w, has_l):
+            amax = stats.max_abs[_input_site_of(site)]
+
+            def one(w_kn, amax_l):
+                w_oi = w_kn.T
+                a = (
+                    search_alpha(w_oi, amax_l, w_bit, g)
+                    if do_search
+                    else alpha
+                )
+                s = compute_smoothing_scales(amax_l, w_oi, a)
+                w_s = smooth_weights(w_oi, s)
+                w_q = pseudo_quantize(w_s, n_bit=w_bit, q_group_size=g)
+                return w_q.T, s
+
+            if has_l:
+                q, s = jax.vmap(one)(w, amax)
+            else:
+                q, s = one(w, amax)
+            return {"w": q, "smooth": s}
+
+    else:
+        raise ValueError(f"unknown quantization method '{method}'")
+
+    return _map_sites(params, fn)
+
+
+def _vt(tensor_fn, w, has_l, **kw):
+    """Apply an [out,in]-oriented tensor quantizer to [.., K, N] weights,
+    vmapping over the layer axis when present."""
+
+    def one(w_kn):
+        return tensor_fn(w_kn.T, **kw).T
+
+    return jax.vmap(one)(w) if has_l else one(w)
+
+
+def pack_model(
+    params: dict,
+    method: str,
+    mcfg: dict,
+    stats: CalibStats | None = None,
+):
+    """Really-pack a model's linear sites for serving.
+
+    Supported: rtn (plain RTN), awq (protection scales folded into input
+    smooth + packed RTN of scaled weight), smoothquant (smooth vector +
+    packed RTN of smoothed weight). Returns (packed_params, qmeta) where
+    qmeta is the hashable tuple the model forward takes.
+    """
+    w_bit = int(mcfg["w_bit"])
+    g = int(mcfg.get("q_group_size", 128))
+    if g <= 0:
+        raise ValueError("packing requires a positive q_group_size")
+    metas = {}
+
+    def pack_one(w_kn, smooth_k=None):
+        # smooth_k: multiply input by smooth_k; weight pre-divided.
+        qt = quantize_pack(w_kn, w_bit, g, symmetric=False)
+        p = {"data": qt.data, "scales": qt.scales, "zeros": qt.zeros}
+        if smooth_k is not None:
+            p["smooth"] = smooth_k
+        return p, (w_bit, g, w_kn.shape[-2], w_kn.shape[-1])
+
+    def fn(site, w, has_l):
+        if method == "rtn":
+            smooth = None
+            w_eff = w
+        elif method == "awq":
+            protect = float(mcfg.get("protect_ratio", 0.01))
+            sf = float(mcfg.get("scale_factor", 1.0))
+            imp = stats.importance(_input_site_of(site))
+
+            def vec(imp_l):
+                return _protection_scale_vec(imp_l, protect, sf)
+
+            v = jax.vmap(vec)(imp) if has_l else vec(imp)
+            # y = (x·(1/v)) @ Q(v∘W): fold protection into input smooth
+            w_eff = w * (v[..., :, None] if has_l else v[:, None])
+            smooth = 1.0 / v
+        elif method == "smoothquant":
+            alpha = mcfg.get("alpha", 0.5)
+            amax = stats.max_abs[_input_site_of(site)]
+
+            def sm(w_kn, amax_l):
+                s = compute_smoothing_scales(amax_l, w_kn.T, alpha)
+                return smooth_weights(w_kn.T, s).T, s
+
+            if has_l:
+                w_eff, smooth = jax.vmap(sm)(w, amax)
+            else:
+                w_eff, smooth = sm(w, amax)
+        else:
+            raise ValueError(f"pack_model does not support method '{method}'")
+
+        if has_l:
+            p, meta = jax.vmap(
+                lambda wl: pack_one(wl)[0]
+            )(w_eff), (w_bit, g, w.shape[-2], w.shape[-1])
+            if smooth is not None:
+                p["smooth"] = smooth
+        else:
+            p, meta = pack_one(w_eff, smooth)
+        metas[site] = meta
+        return p
+
+    packed = _map_sites(params, fn)
+    qmeta = tuple(sorted(metas.items()))
+    return packed, qmeta

@@ -1,0 +1,171 @@
+"""GPTQ — Hessian-informed quantization (reference C10).
+
+Two modes:
+
+1. ``error_compensation=False`` — reference-parity. The reference builds a
+   proxy Hessian from normalized mean-abs stat vectors
+   (gptq_quantizer.py:133-144), optionally permutes columns by diag(H)
+   (actorder, :153-157), then quantizes each column with a per-column
+   symmetric scalar scale and *skips* the error-compensation update
+   (:191-194). Without compensation the column order is irrelevant to the
+   result, so the whole thing collapses to one vectorized per-column
+   symmetric quantization — what the reference does in O(C) Python steps is
+   a single fused XLA op here.
+
+2. ``error_compensation=True`` — the real GPTQ algorithm the reference
+   skips: damped Hessian, Cholesky-based inverse, per-group asymmetric
+   scales frozen at group entry, sequential per-column quantization with
+   the remaining-column update  W[:, j+1:] -= err · Hinv[j, j+1:]/Hinv[j,j],
+   processed in column blocks (in-block updates inside a `lax.fori_loop`,
+   one rank-block matmul per block for the trailing columns — MXU-friendly).
+
+Weights are in reference orientation [out_features, in_features]; Hessians
+are [in, in].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def build_proxy_hessian(
+    stat_vectors: jnp.ndarray, perp_damp: float = 0.01
+) -> jnp.ndarray:
+    """Reference-parity Hessian from stacked mean-abs stat vectors [S, C]:
+    H = (Σ_s v̂_s v̂_sᵀ)/S + damp·I with v̂ = v/(‖v‖+1e−5)
+    (gptq_quantizer.py:137-150)."""
+    v = stat_vectors.astype(jnp.float32)
+    norms = jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-5
+    vn = v / norms
+    H = vn.T @ vn
+    S = stat_vectors.shape[0]
+    C = H.shape[0]
+    return H / S + perp_damp * jnp.eye(C, dtype=jnp.float32)
+
+
+def accumulate_hessian(carry_H, x: jnp.ndarray) -> jnp.ndarray:
+    """True-Hessian accumulation step: H += XᵀX over a batch of activations
+    x [tokens, C]. Designed to sit inside a jitted scan over calibration
+    batches; under data parallelism the final H is psum'd over the `data`
+    mesh axis (SURVEY §5.8)."""
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    return carry_H + xf.T @ xf
+
+
+@partial(jax.jit, static_argnames=("n_bit",))
+def _parity_column_quantize(W: jnp.ndarray, n_bit: int) -> jnp.ndarray:
+    """Per-column symmetric scalar-scale quantization — exactly what the
+    reference's skip-compensation loop computes (gptq_quantizer.py:177-197),
+    vectorized over all columns."""
+    Wf = W.astype(jnp.float32)
+    max_int = 2**n_bit - 1
+    scale = jnp.clip(jnp.max(jnp.abs(Wf), axis=0, keepdims=True) / max_int, 1e-5, None)
+    q = jnp.clip(jnp.round(Wf / scale), -max_int - 1, max_int)
+    return q * scale
+
+
+def _group_params(Wblk: jnp.ndarray, n_bit: int):
+    """Asymmetric per-row scales/zeros over a column block (frozen at group
+    entry, standard GPTQ grouping)."""
+    max_int = 2**n_bit - 1
+    mx = jnp.max(Wblk, axis=1, keepdims=True)
+    mn = jnp.min(Wblk, axis=1, keepdims=True)
+    scales = jnp.clip(mx - mn, 1e-5, None) / max_int
+    zeros = jnp.clip(-jnp.round(mn / scales), 0, max_int)
+    return scales, zeros
+
+
+def gptq_quantize_layer(
+    W: jnp.ndarray,
+    H: jnp.ndarray,
+    n_bit: int,
+    q_group_size: int = 128,
+    perp_damp: float = 0.01,
+    blocksize: int = 128,
+    actorder: bool = False,
+    error_compensation: bool = True,
+) -> jnp.ndarray:
+    """GPTQ-quantize one [out, in] weight with Hessian H [in, in]."""
+    orig_dtype = W.dtype
+    Wf = W.astype(jnp.float32)
+    C = Wf.shape[1]
+
+    if not error_compensation:
+        # Parity mode: actorder permutation + per-column quant + inverse
+        # permutation — but the per-column quant is order-independent, so
+        # the permutation cancels exactly. One vectorized op.
+        return _parity_column_quantize(Wf, n_bit).astype(orig_dtype)
+
+    H = H.astype(jnp.float32)
+    # damping relative to mean diagonal (standard GPTQ practice)
+    damp = perp_damp * jnp.mean(jnp.diag(H))
+    Hd = H + (damp + 1e-8) * jnp.eye(C, dtype=jnp.float32)
+
+    if actorder:
+        perm = jnp.argsort(-jnp.diag(Hd))
+        inv_perm = jnp.argsort(perm)
+        Wf = Wf[:, perm]
+        Hd = Hd[perm][:, perm]
+    else:
+        inv_perm = None
+
+    # Hinv via Cholesky: GPTQ uses U = chol(inv(H), upper); then the
+    # compensation for column j uses row j of U restricted to j:.
+    L = jnp.linalg.cholesky(Hd)
+    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(C, dtype=jnp.float32))
+    # upper Cholesky factor of Hinv (Hinv = UᵀU); its rows drive the updates
+    U = jnp.linalg.cholesky(Hinv).T
+
+    g = q_group_size if q_group_size > 0 else C
+    B = min(blocksize, g)  # align compensation blocks to scale groups
+    if C % B != 0:
+        B = g if C % g == 0 else C
+    n_blocks = C // B
+    max_int = 2**n_bit - 1
+
+    def quantize_block(Wblk, Ublk, scales, zeros):
+        """Sequential per-column quantize+compensate inside one block.
+        Wblk [out, B]; Ublk = U[block, block] (upper-tri, [B, B]). Returns
+        (quantize-dequantized block, per-column scaled errors Err [out, B])
+        where Err[:, j] = (w_j − ŵ_j)/U_jj at quantization time — the exact
+        vector the cross-block update needs."""
+        col_idx = jnp.arange(B)
+
+        def body(j, carry):
+            Wb, Err = carry
+            wj = jax.lax.dynamic_slice_in_dim(Wb, j, 1, axis=1)  # [out,1]
+            qj = jnp.clip(jnp.round(wj / scales) + zeros, 0, max_int)
+            dqj = (qj - zeros) * scales
+            d = jax.lax.dynamic_slice(Ublk, (j, j), (1, 1))[0, 0]
+            err = (wj - dqj) / d  # [out,1]
+            urow = jax.lax.dynamic_slice_in_dim(Ublk, j, 1, axis=0)  # [1,B]
+            mask = (col_idx > j).astype(jnp.float32)[None, :]
+            Wb = Wb - err @ (urow * mask)
+            Wb = jax.lax.dynamic_update_slice_in_dim(Wb, dqj, j, axis=1)
+            Err = jax.lax.dynamic_update_slice_in_dim(Err, err, j, axis=1)
+            return Wb, Err
+
+        return jax.lax.fori_loop(0, B, body, (Wblk, jnp.zeros_like(Wblk)))
+
+    W_work = Wf
+    out_cols = []
+    for b in range(n_blocks):
+        lo = b * B
+        Wblk = W_work[:, lo : lo + B]
+        # scales frozen at group entry from the *current* (compensated) block
+        scales, zeros = _group_params(Wblk, n_bit)
+        Ublk = U[lo : lo + B, lo : lo + B]
+        Wq_blk, Err = quantize_block(Wblk, Ublk, scales, zeros)
+        out_cols.append(Wq_blk)
+        if lo + B < C:
+            # rank-B cross-block update for all trailing columns (one matmul)
+            W_tail = W_work[:, lo + B :] - Err @ U[lo : lo + B, lo + B :]
+            W_work = jnp.concatenate([W_work[:, : lo + B], W_tail], axis=1)
+    Wq = jnp.concatenate(out_cols, axis=1)
+
+    if inv_perm is not None:
+        Wq = Wq[:, inv_perm]
+    return Wq.astype(orig_dtype)

@@ -1,0 +1,159 @@
+"""Unit tests for AWQ, GPTQ and SmoothQuant tensor transforms
+(reference test_smooth_weights :299-353, test_alpha_effect :401-450, and
+GPTQ behavior checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qtpu.quant.awq import awq_quantize, awq_search_scale_factor
+from qtpu.quant.gptq import (
+    _parity_column_quantize,
+    build_proxy_hessian,
+    gptq_quantize_layer,
+)
+from qtpu.quant.smoothquant import (
+    compute_smoothing_scales,
+    reverse_smoothing,
+    search_alpha,
+    smooth_weights,
+    smoothquant_quantize,
+)
+
+
+def _w(rng, shape=(128, 256)):
+    return jax.random.normal(rng, shape)
+
+
+def test_awq_protects_salient_channels(rng):
+    """Quantization error on the protected (high-importance) channels must
+    shrink versus plain RTN."""
+    k1, k2 = jax.random.split(rng)
+    w = _w(k1)  # [out, in]
+    imp = jnp.abs(jax.random.normal(k2, (256,)))
+    top = jnp.argsort(-imp)[:3]
+    from qtpu.quant import pseudo_quantize
+
+    q_rtn = pseudo_quantize(w, 3, 128)
+    q_awq = awq_quantize(w, imp, 3, 128, protect_ratio=0.01, scale_factor=2.0)
+    err_rtn = float(jnp.mean((q_rtn[:, top] - w[:, top]) ** 2))
+    err_awq = float(jnp.mean((q_awq[:, top] - w[:, top]) ** 2))
+    assert err_awq < err_rtn
+
+
+def test_awq_scale_search_no_worse_than_fixed(rng):
+    k1, k2 = jax.random.split(rng)
+    w = _w(k1)
+    imp = jnp.abs(jax.random.normal(k2, (256,))) ** 2
+    sf = awq_search_scale_factor(w, imp, 3, 128, 0.01)
+    assert 1.0 <= float(sf) <= 2.0
+
+    def werr(s):
+        q = awq_quantize(w, imp, 3, 128, 0.01, s)
+        return float(jnp.sum(jnp.sum((q - w) ** 2, axis=0) * imp))
+
+    assert werr(float(sf)) <= werr(1.0) + 1e-6
+    assert werr(float(sf)) <= werr(2.0) + 1e-6
+
+
+def test_gptq_parity_mode_per_column_symmetric(rng):
+    """Parity mode must equal per-column symmetric quantization with the
+    reference's clamp floor (gptq_quantizer.py:177-197)."""
+    w = np.asarray(_w(rng), np.float32)
+    got = np.asarray(_parity_column_quantize(jnp.asarray(w), 4))
+    sc = np.clip(np.abs(w).max(0, keepdims=True) / 15, 1e-5, None)
+    expect = np.clip(np.round(w / sc), -16, 15) * sc
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_gptq_proxy_hessian_shape_spd(rng):
+    v = jnp.abs(jax.random.normal(rng, (8, 64)))
+    H = build_proxy_hessian(v, 0.01)
+    assert H.shape == (64, 64)
+    evals = jnp.linalg.eigvalsh(H)
+    assert float(evals.min()) > 0
+
+
+def test_gptq_compensation_beats_rtn_on_correlated_inputs(rng):
+    """With correlated input features, error-compensated GPTQ must achieve
+    lower output error ‖(Ŵ−W)X‖ than naive RTN — the whole point of the
+    algorithm the reference skips (gptq_quantizer.py:191-194)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    C, O, T = 128, 64, 512
+    # correlated inputs: mix of a few latent factors
+    F = jax.random.normal(k1, (C, 8))
+    X = jax.random.normal(k2, (T, 8)) @ F.T + 0.1 * jax.random.normal(k3, (T, C))
+    W = jax.random.normal(jax.random.PRNGKey(9), (O, C))
+    H = X.T @ X
+    Wq = gptq_quantize_layer(
+        W, H, n_bit=3, q_group_size=64, blocksize=64, error_compensation=True
+    )
+    from qtpu.quant import pseudo_quantize
+
+    Wr = pseudo_quantize(W, 3, 64)
+    err_gptq = float(jnp.linalg.norm((Wq - W) @ X.T))
+    err_rtn = float(jnp.linalg.norm((Wr - W) @ X.T))
+    assert err_gptq < err_rtn
+
+
+def test_gptq_actorder_runs(rng):
+    w = _w(rng, (64, 128))
+    H = build_proxy_hessian(jnp.abs(jax.random.normal(rng, (4, 128))))
+    q = gptq_quantize_layer(
+        w, H, 4, q_group_size=64, blocksize=64, actorder=True, error_compensation=True
+    )
+    assert q.shape == w.shape and bool(jnp.all(jnp.isfinite(q)))
+
+
+def test_smooth_weights_equivalence(rng):
+    """y = (W/s) @ (s·x) must equal W @ x (smooth_quant_quantizer.py:11-16)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    w = _w(k1)  # [out, in]
+    x = jax.random.normal(k2, (16, 256))
+    amax = jnp.abs(jax.random.normal(k3, (256,))) + 0.1
+    s = compute_smoothing_scales(amax, w, 0.5)
+    w_s = smooth_weights(w, s)
+    y0 = x @ w.T
+    y1 = (x * s[None, :]) @ w_s.T
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-4, atol=1e-4)
+
+
+def test_smooth_alpha_extremes(rng):
+    """α=0 → s = 1/wmax (weight-only); α=1 → s = amax (activation-only)
+    (reference test_smooth_weights checks α ∈ {0, 0.5, 1})."""
+    k1, k2 = jax.random.split(rng)
+    w = _w(k1)
+    amax = jnp.abs(jax.random.normal(k2, (256,))) + 0.1
+    wmax = jnp.clip(jnp.max(jnp.abs(w), axis=0), 1e-5, None)
+    s0 = compute_smoothing_scales(amax, w, 0.0)
+    s1 = compute_smoothing_scales(amax, w, 1.0)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(1.0 / wmax), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(amax), rtol=1e-5)
+
+
+def test_alpha_changes_weights(rng):
+    """Different α ⇒ different quantized weight norms (reference
+    test_alpha_effect :446-448)."""
+    k1, k2 = jax.random.split(rng)
+    w = _w(k1)
+    amax = jnp.abs(jax.random.normal(k2, (256,))) * 3 + 0.1
+    qa, _ = smoothquant_quantize(w, amax, 8, 128, alpha=0.2)
+    qb, _ = smoothquant_quantize(w, amax, 8, 128, alpha=0.8)
+    assert not bool(jnp.allclose(qa, qb))
+
+
+def test_reverse_smoothing_roundtrip(rng):
+    k1, k2 = jax.random.split(rng)
+    w = _w(k1)
+    amax = jnp.abs(jax.random.normal(k2, (256,))) + 0.1
+    s = compute_smoothing_scales(amax, w, 0.5)
+    back = reverse_smoothing(smooth_weights(w, s), s)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(w), rtol=1e-4, atol=1e-5)
+
+
+def test_search_alpha_in_range(rng):
+    k1, k2 = jax.random.split(rng)
+    w = _w(k1)
+    amax = jnp.abs(jax.random.normal(k2, (256,))) * 10 + 0.1
+    a = search_alpha(w, amax, 8, 128)
+    assert 0.0 <= float(a) <= 1.0

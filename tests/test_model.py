@@ -1,0 +1,112 @@
+"""Model forward, capture modes, and end-to-end quantize pipeline on a tiny
+model (the reference's fake-backend pattern, test_quantization.py:120-124)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qtpu.calib import collect_calibration_stats
+from qtpu.models import TINY_TEST, forward, init_params
+from qtpu.quant import quantize_model
+from qtpu.quant.apply import pack_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    batches = [
+        jax.random.randint(jax.random.fold_in(key, i), (1, 64), 0, cfg.vocab_size)
+        for i in range(4)
+    ]
+    stats = collect_calibration_stats(
+        forward, params, batches, cfg, collect_hessian=True
+    )
+    return cfg, params, batches, stats
+
+
+def test_forward_shapes(setup):
+    cfg, params, batches, _ = setup
+    logits = forward(params, batches[0], cfg)
+    assert logits.shape == (1, 64, cfg.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_capture_stats_shapes(setup):
+    cfg, params, batches, stats = setup
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    assert stats.mean_abs["attn_in"].shape == (4, L, D)
+    assert stats.mean_abs["down_in"].shape == (4, L, F)
+    assert stats.mean_abs["head_in"].shape == (4, D)
+    assert stats.max_abs["mlp_in"].shape == (L, D)
+    assert stats.hessian["attn_in"].shape == (L, D, D)
+    assert stats.n_batches == 4
+
+
+def test_stats_nonnegative(setup):
+    _, _, _, stats = setup
+    for site, v in stats.mean_abs.items():
+        assert bool(jnp.all(v >= 0)), site
+    for site, v in stats.max_abs.items():
+        assert bool(jnp.all(v >= 0)), site
+
+
+@pytest.mark.parametrize(
+    "method,mcfg",
+    [
+        ("rtn", {"w_bit": 8, "q_group_size": 64}),
+        ("pot", {"w_bit": 8, "q_group_size": 64, "grid_step": 0.1}),
+        ("apot", {"w_bit": 4, "q_group_size": 64, "k": 2, "grid_step": 0.1}),
+        ("awq", {"w_bit": 4, "q_group_size": 64, "protect_ratio": 0.01, "scale_factor": 2.0}),
+        ("gptq", {"w_bit": 4, "q_group_size": 64, "error_compensation": False}),
+        ("gptq", {"w_bit": 4, "q_group_size": 64, "error_compensation": True, "blocksize": 64}),
+        ("smoothquant", {"w_bit": 8, "q_group_size": 64, "alpha": 0.5}),
+    ],
+)
+def test_quantize_model_end_to_end(setup, method, mcfg):
+    cfg, params, batches, stats = setup
+    qp = quantize_model(params, method, mcfg, stats)
+    logits = forward(qp, batches[0], cfg)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    # weights must actually change
+    w0 = params["layers"]["q_proj"]["w"]
+    w1 = qp["layers"]["q_proj"]["w"]
+    assert not bool(jnp.allclose(w0, w1))
+
+
+def test_w8_closer_than_w2(setup):
+    """Monotonic fidelity at the model level: W8 logits closer to fp than W2."""
+    cfg, params, batches, stats = setup
+    base = forward(params, batches[0], cfg)
+    q8 = quantize_model(params, "rtn", {"w_bit": 8, "q_group_size": 64})
+    q2 = quantize_model(params, "rtn", {"w_bit": 2, "q_group_size": 64})
+    d8 = float(jnp.abs(forward(q8, batches[0], cfg) - base).mean())
+    d2 = float(jnp.abs(forward(q2, batches[0], cfg) - base).mean())
+    assert d8 < d2
+
+
+def test_packed_matches_fake_quant(setup):
+    """Packed int4 serving path ≈ fake-quant eval path (bf16 scale storage
+    is the only difference)."""
+    cfg, params, batches, stats = setup
+    base = forward(params, batches[0], cfg)
+    fq = quantize_model(params, "rtn", {"w_bit": 4, "q_group_size": 64})
+    packed, qmeta = pack_model(params, "rtn", {"w_bit": 4, "q_group_size": 64})
+    lg_fq = forward(fq, batches[0], cfg)
+    lg_pk = forward(packed, batches[0], cfg, qmeta=qmeta)
+    diff_q = float(jnp.abs(lg_pk - lg_fq).mean())
+    diff_base = float(jnp.abs(lg_fq - base).mean())
+    assert diff_q < max(0.25 * diff_base, 0.02)
+
+
+def test_packed_awq_and_smoothquant(setup):
+    cfg, params, batches, stats = setup
+    for method, mcfg in [
+        ("awq", {"w_bit": 4, "q_group_size": 64, "protect_ratio": 0.01, "scale_factor": 2.0}),
+        ("smoothquant", {"w_bit": 8, "q_group_size": 64, "alpha": 0.5}),
+    ]:
+        packed, qmeta = pack_model(params, method, mcfg, stats)
+        logits = forward(packed, batches[0], cfg, qmeta=qmeta)
+        assert bool(jnp.all(jnp.isfinite(logits)))

@@ -1,0 +1,75 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: sharded forward equals
+single-device forward (the multi-device story the reference lacks,
+SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qtpu.models import TINY_TEST, forward, init_params
+from qtpu.quant.apply import pack_model
+from qtpu.sharding import make_mesh, shard_params
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, cfg.vocab_size)
+    return cfg, params, ids
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 2), (8, 1)])
+def test_sharded_forward_matches_single_device(setup, dp, tp):
+    cfg, params, ids = setup
+    expect = np.asarray(forward(params, ids, cfg))
+
+    mesh = make_mesh(data=dp, model=tp)
+    p_sh = shard_params(params, mesh)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(forward(p_sh, ids_sh, cfg))
+    np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
+
+
+def test_sharded_packed_forward(setup):
+    cfg, params, ids = setup
+    packed, qmeta = pack_model(params, "rtn", {"w_bit": 4, "q_group_size": 64})
+    expect = np.asarray(forward(packed, ids, cfg, qmeta=qmeta))
+
+    mesh = make_mesh(data=2, model=2)
+    p_sh = shard_params(packed, mesh)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(forward(p_sh, ids_sh, cfg, qmeta=qmeta))
+    np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
+
+
+def test_data_parallel_calibration_stats(setup):
+    """Stats from a sharded batch must equal single-device stats: the psum
+    over the data axis is exact for XᵀX and mean-abs sums."""
+    cfg, params, _ = setup
+    ids = jax.random.randint(jax.random.PRNGKey(3), (8, 64), 0, cfg.vocab_size)
+    _, stats1 = forward(params, ids, cfg, capture="stats")
+
+    mesh = make_mesh(data=8, model=1)
+    p_sh = shard_params(params, mesh)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    with jax.sharding.set_mesh(mesh):
+        _, stats8 = forward(p_sh, ids_sh, cfg, capture="stats")
+    a = np.asarray(stats1["attn_in"]["mean_abs"])
+    b = np.asarray(stats8["attn_in"]["mean_abs"])
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4)
