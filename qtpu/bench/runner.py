@@ -34,7 +34,7 @@ from qtpu.core.dtypes import MiB, resolve_dtype
 from qtpu.core.sizing import count_params, get_model_size
 from qtpu.data import get_calibration_dataset, get_test_dataset
 from qtpu.eval import evaluate_perplexity
-from qtpu.models import forward, get_model_config, init_params
+from qtpu.models import get_arch, get_model_config
 from qtpu.quant import quantize_model
 
 METHODS = ("awq", "gptq", "pot", "apot", "smoothquant", "rtn")
@@ -65,6 +65,7 @@ class QuantizationBenchmark:
         cfg = self.config
         self.log(f"Setting up benchmark for {cfg['model_name']}...")
         self.model_cfg = get_model_config(cfg["model_name"])
+        self.arch = get_arch(self.model_cfg.arch)
         dtype = resolve_dtype(cfg.get("dtype", "bfloat16"))
         # offline: random-init weights; HF import would slot in here when a
         # local checkpoint path is configured (qtpu.models.hf_import)
@@ -76,7 +77,7 @@ class QuantizationBenchmark:
                 ckpt, self.model_cfg, dtype
             )
         else:
-            self.params = init_params(
+            self.params = self.arch.init_params(
                 self.model_cfg, jax.random.PRNGKey(cfg.get("seed", 0)), dtype
             )
             self.tokenizer = None
@@ -108,7 +109,7 @@ class QuantizationBenchmark:
             return
         self.log("\nCollecting activation statistics...")
         self.stats = collect_calibration_stats(
-            forward,
+            self.arch.forward,
             self.params,
             [np.asarray(b) for b in self.calib_samples],
             self.model_cfg,
@@ -143,6 +144,7 @@ class QuantizationBenchmark:
             n_samples=self.config.get("n_test_samples", 40),
             block_size=self.config.get("test_block_size", 2048),
             qmeta=qmeta,
+            arch=self.model_cfg.arch,
             verbose=self.verbose,
         )
 
@@ -179,7 +181,9 @@ class QuantizationBenchmark:
                 ) and mcfg.get("true_hessian", True)
                 self._prepare_activations(need_hessian=need_h)
                 stats = self.stats
-            qparams = quantize_model(self.params, method, mcfg, stats)
+            qparams = quantize_model(
+                self.params, method, mcfg, stats, arch=self.model_cfg.arch
+            )
             jax.block_until_ready(qparams)
             quant_time = time.time() - start
             self.log(f"  quantization took {quant_time:.2f}s")

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from qtpu.models.llama import INPUT_SITES, SITE_OF_INPUT
+from qtpu.models.llama import SITE_OF_INPUT
 
 
 @dataclass
@@ -63,7 +63,7 @@ def collect_calibration_stats(
     forward_fn: models.llama.forward-compatible callable.
     """
     capture = "hessian" if collect_hessian else "stats"
-    mean_list = {s: [] for s in INPUT_SITES}
+    mean_list = {}
     max_run = {}
     hess_run = {} if collect_hessian else None
 
@@ -71,7 +71,7 @@ def collect_calibration_stats(
         ids = jnp.asarray(ids)
         _, stats = forward_fn(params, ids, cfg, capture=capture)
         for site, st in stats.items():
-            mean_list[site].append(st["mean_abs"])
+            mean_list.setdefault(site, []).append(st["mean_abs"])
             if site not in max_run:
                 max_run[site] = st["max_abs"]
             else:

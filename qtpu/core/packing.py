@@ -24,26 +24,35 @@ import jax.numpy as jnp
 from qtpu.core.dtypes import SCALE_DTYPE
 
 
-def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """Pack uint4 values (stored in an int dtype, range [0,15]) pairwise
-    along axis 0 into int8 bytes: byte = low | (high << 4)."""
-    if q.shape[0] % 2 != 0:
-        raise ValueError(f"axis 0 ({q.shape[0]}) must be even to pack int4 pairs")
+def pack_int4(q: jnp.ndarray, group_size: int | None = None) -> jnp.ndarray:
+    """Pack uint4 values (range [0,15]) along axis 0 into int8 bytes using a
+    GROUP-HALVES layout: within each quantization group of `group_size` rows,
+    byte j holds (low nibble = row j, high nibble = row j + group/2). Unpack
+    is then two strided slices + one concat per group — no sublane
+    interleave — which is what the Pallas fused dequant-matmul kernel wants
+    (lo/hi halves share the group's scale, and each half is a contiguous
+    [group/2, N] tile). group_size=None packs the whole axis as one group."""
+    K = q.shape[0]
+    g = group_size if group_size else K
+    if K % g != 0 or g % 2 != 0:
+        raise ValueError(f"K={K} must be divisible by even group_size={g}")
     q = q.astype(jnp.uint8)
-    lo = q[0::2]
-    hi = q[1::2]
-    return (lo | (hi << 4)).astype(jnp.int8)
+    qg = q.reshape(K // g, g, *q.shape[1:])
+    lo = qg[:, : g // 2]
+    hi = qg[:, g // 2 :]
+    return (lo | (hi << 4)).astype(jnp.int8).reshape(K // 2, *q.shape[1:])
 
 
-def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+def unpack_int4(packed: jnp.ndarray, group_size: int | None = None) -> jnp.ndarray:
     """Inverse of pack_int4 → uint8 array with values in [0,15], axis 0
-    doubled."""
-    p = packed.astype(jnp.uint8)
+    doubled (group-halves layout)."""
+    K2 = packed.shape[0]
+    g = group_size if group_size else 2 * K2
+    p = packed.astype(jnp.uint8).reshape(2 * K2 // g, g // 2, *packed.shape[1:])
     lo = p & jnp.uint8(0xF)
     hi = p >> 4
-    # interleave back: out[2i] = lo[i], out[2i+1] = hi[i]
-    out = jnp.stack([lo, hi], axis=1)
-    return out.reshape((-1,) + packed.shape[1:])
+    out = jnp.concatenate([lo, hi], axis=1)
+    return out.reshape(2 * K2, *packed.shape[1:])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -133,7 +142,7 @@ def quantize_pack(
     store = store.reshape(K, N)
     scales2 = scales.reshape(K // g, N).astype(SCALE_DTYPE)
     if bits == 4:
-        data = pack_int4(store.astype(jnp.uint8))
+        data = pack_int4(store.astype(jnp.uint8), g)
     elif bits == 8:
         data = (store.astype(jnp.int32) - 128).astype(jnp.int8)
     else:
@@ -149,7 +158,7 @@ def dequantize(qt: QuantizedTensor, out_dtype=jnp.bfloat16) -> jnp.ndarray:
     K, N = qt.shape
     g = qt.group_size
     if qt.bits == 4:
-        qu = unpack_int4(qt.data).astype(jnp.int32)  # [K, N] in [0,15]
+        qu = unpack_int4(qt.data, g).astype(jnp.int32)  # [K, N] in [0,15]
     else:
         qu = qt.data.astype(jnp.int32) + 128  # back to [0,255]
     qu = qu.reshape(K // g, g, N)

@@ -56,11 +56,11 @@ def get_calibration_dataset(
             break
     if not samples:
         raise ValueError("No valid samples found in dataset")
-    cat = np.concatenate(samples, axis=1)
-    n_split = cat.shape[1] // block_size
-    return [
-        cat[:, i * block_size : (i + 1) * block_size] for i in range(n_split)
-    ]
+    # concat + fixed-block split via the native C++ packer when built
+    # (qtpu/native, numpy fallback inside)
+    from qtpu import native
+
+    return native.block_pack([s[0] for s in samples], block_size)
 
 
 def get_test_dataset(

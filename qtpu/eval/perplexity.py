@@ -20,12 +20,13 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("cfg", "qmeta"))
-def _block_nll(params, batch, cfg, qmeta=None):
+@partial(jax.jit, static_argnames=("cfg", "qmeta", "arch"))
+def _block_nll(params, batch, cfg, qmeta=None, arch="llama"):
     """Mean shifted cross-entropy of one [1, B] block (fp32), reference
     style: loss over B−1 positions."""
-    from qtpu.models.llama import forward
+    from qtpu.models import get_arch
 
+    forward = get_arch(arch).forward
     logits = forward(params, batch, cfg, qmeta=qmeta)  # fp32 [1, B, V]
     shift_logits = logits[:, :-1, :].astype(jnp.float32)
     shift_labels = batch[:, 1:]
@@ -41,6 +42,7 @@ def evaluate_perplexity(
     n_samples: int = 40,
     block_size: int = 2048,
     qmeta=None,
+    arch: str = "llama",
     verbose: bool = False,
 ) -> float:
     """test_ids: [1, N] token stream. Returns scalar perplexity."""
@@ -49,7 +51,7 @@ def evaluate_perplexity(
         batch = test_ids[:, i * block_size : (i + 1) * block_size]
         if batch.shape[1] < block_size:
             break
-        loss = _block_nll(params, batch, cfg, qmeta)
+        loss = _block_nll(params, batch, cfg, qmeta, arch)
         nlls.append(loss * block_size)
         if verbose and (i + 1) % 8 == 0:
             print(f"  eval block {i + 1}/{n_samples}")

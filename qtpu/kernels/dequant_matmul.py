@@ -27,7 +27,7 @@ from qtpu.core.packing import unpack_int4
 
 def _dequant_ref(data, scales, zeros, bits, group_size, K, N, out_dtype):
     if bits == 4:
-        qu = unpack_int4(data).astype(jnp.int32)
+        qu = unpack_int4(data, group_size).astype(jnp.int32)
     else:
         qu = data.astype(jnp.int32) + 128
     qu = qu.reshape(K // group_size, group_size, N)

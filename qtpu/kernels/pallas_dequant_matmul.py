@@ -1,9 +1,153 @@
-"""Pallas TPU kernel: fused dequant + matmul (placeholder gate).
+"""Pallas TPU kernel: fused dequantize + matmul for packed W4/W8 weights.
 
-Filled in by the kernels milestone; raising NotImplementedError here routes
-callers to the XLA reference path in dequant_matmul.py.
+The serving hot path (the "native layer" of this framework, SURVEY §2.2).
+Rationale: a W4 weight is 4 bits in HBM instead of 16 — serving matmuls are
+HBM-bandwidth-bound, so streaming packed bytes into VMEM and dequantizing
+there (VPU) right before the MXU dot beats the bf16 dense path by up to ~4×
+on memory-bound shapes.
+
+Layout contract (qtpu.core.packing, group-halves):
+  x       [M, K]        bf16
+  data w4 [K/2, N] int8 — within each group of g K-rows, byte j holds
+          (low nibble = row j, high nibble = row j + g/2); so a [g/2, N]
+          packed tile unpacks to two contiguous [g/2, N] tiles sharing one
+          scale row — no sublane interleave in-kernel.
+  data w8 [K, N]  int8 — values biased by −128 (unsigned domain − 128)
+  scales  [K/g, N] bf16;  zeros [K/g, N] uint8 (asymmetric) or None
+          (symmetric: implicit zero = 2^(b−1))
+
+Design choice: ONE K step per output tile (grid = (M/bm, N/bn), full-K
+blocks). Mosaic cannot do dynamically-indexed sub-8-row scale loads and
+K/g-row blocks are below the (8,128) tile floor, so blocking K would force
+aligned-scale gymnastics; with full-K blocks every per-group scale row
+index is STATIC (probed: static row loads lower fine) and no cross-step
+accumulator is needed. VMEM stays comfortable through bm/bn choice even at
+K≈11k (7B-class down_proj).
 """
 
+from __future__ import annotations
 
-def pallas_quantized_matmul(x, data, scales, zeros, meta):
-    raise NotImplementedError
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
+    x = x_ref[:]  # [bm, K] bf16
+    n_groups = K // group
+    acc = None
+    for c in range(n_groups):  # static unroll; all indices static
+        s = s_ref[c, :][None, :].astype(jnp.float32)  # [1, bn]
+        if bits == 4:
+            packed = d_ref[c * (group // 2) : (c + 1) * (group // 2), :]
+            # nibble extraction in i32: Mosaic has no u8 shifts (arith.shrui
+            # on i8 fails to legalize); & 0xFF undoes the int8 sign first
+            pu = packed.astype(jnp.int32) & 0xFF
+            lo = pu & 0xF
+            hi = jax.lax.shift_right_arithmetic(pu, 4) & 0xF
+            q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] in [0,15]
+        else:
+            q = d_ref[c * group : (c + 1) * group, :].astype(jnp.int32) + 128
+        if z_ref is not None:
+            z = z_ref[c, :][None, :].astype(jnp.int32)  # [1, bn]
+        else:
+            z = 2 ** (bits - 1)
+        w = ((q - z).astype(jnp.float32) * s).astype(x.dtype)  # [group, bn]
+        xg = x[:, c * group : (c + 1) * group]
+        part = jnp.dot(xg, w, preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _choose_blocks(M, K, N):
+    # keep x-block + packed-block + out under a few MB of VMEM
+    bm = next((b for b in (256, 128, 64, 32, 16, 8) if M % b == 0), M)
+    while bm * K * 2 > 4 * 1024 * 1024 and bm > 8:
+        bm //= 2
+    bn = next((b for b in (512, 256, 128) if N % b == 0), N)
+    while K * bn > 6 * 1024 * 1024 and bn > 128:
+        bn //= 2
+    return bm, bn
+
+
+@partial(jax.jit, static_argnames=("meta", "interpret"))
+def pallas_quantized_matmul(x, data, scales, zeros, meta, interpret=False):
+    """y = x @ dequant(data) via the fused Pallas kernel.
+
+    x: [..., K] bf16/f32; returns [..., N] in x.dtype.
+    meta = (bits, group, K, N). Raises NotImplementedError for shapes the
+    kernel does not tile (caller falls back to the XLA path).
+    """
+    bits, group, K, N = meta
+    if group <= 0 or group % 2 != 0 or K % group != 0:
+        raise NotImplementedError("pallas path needs positive even group | K")
+    orig_shape = x.shape
+    M = 1
+    for d in orig_shape[:-1]:
+        M *= d
+    x2 = x.reshape(M, K)
+
+    pad_m = (-M) % 8
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    bm, bn = _choose_blocks(Mp, K, N)
+    if Mp % bm or N % bn:
+        raise NotImplementedError("shapes do not tile")
+
+    grid = (Mp // bm, N // bn)
+    in_specs = [
+        pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            ((K // 2) if bits == 4 else K, bn),
+            lambda i, j: (0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (K // group, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [x2, data, scales]
+    has_zeros = zeros is not None
+    if has_zeros:
+        in_specs.append(
+            pl.BlockSpec(
+                (K // group, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(zeros)
+
+    def kernel(*refs):
+        if has_zeros:
+            x_ref, d_ref, s_ref, z_ref, o_ref = refs
+        else:
+            x_ref, d_ref, s_ref, o_ref = refs
+            z_ref = None
+        _dq_matmul_kernel(
+            x_ref, d_ref, s_ref, z_ref, o_ref, bits=bits, group=group, K=K
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N * bits // 8 + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if pad_m:
+        out = out[:M]
+    return out.reshape(orig_shape[:-1] + (N,))

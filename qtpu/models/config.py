@@ -82,6 +82,19 @@ GPT2_SMALL = ModelConfig(
     tie_embeddings=True,
 )
 
+TINY_GPT2_TEST = ModelConfig(
+    arch="gpt2",
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=512,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=4,
+    head_dim=64,
+    max_seq_len=512,
+    tie_embeddings=True,
+)
+
 # Tiny test configs (CPU-fast, dims kept multiples of 128 for group tests)
 TINY_TEST = ModelConfig(
     arch="llama",
@@ -103,6 +116,7 @@ PRESET_MODELS = {
     "gpt2": GPT2_SMALL,
     "gpt2-random": GPT2_SMALL,
     "tiny-test": TINY_TEST,
+    "tiny-gpt2-test": TINY_GPT2_TEST,
 }
 
 

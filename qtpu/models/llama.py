@@ -162,6 +162,111 @@ def _collect(x, capture: str):
     return out
 
 
+def _cached_attention(q, layer_kv, mask, cfg: ModelConfig):
+    """q [B,T,H,hd] against a full cache layer [B,S,KV,hd] (bf16 or int8 +
+    scales). mask [B,T,S] True=attend."""
+    from qtpu.serve.kvcache import dequantize_kv
+
+    k_c, v_c, ks_c, vs_c = layer_kv
+    if ks_c is not None:
+        K = dequantize_kv(k_c, ks_c, q.dtype)
+        V = dequantize_kv(v_c, vs_c, q.dtype)
+    else:
+        K, V = k_c, v_c
+    B, T, H, hd = q.shape
+    KV = K.shape[2]
+    if KV != H:
+        rep = H // KV
+        K = jnp.repeat(K, rep, axis=2)
+        V = jnp.repeat(V, rep, axis=2)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, K, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(float(hd))
+    scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, V)
+    return out.reshape(B, T, H * hd)
+
+
+def _layer_fwd_cached(x, lp, layer_kv, start, rope, mask, cfg: ModelConfig, qmeta):
+    """One decoder layer with KV-cache read/write. start: [B] write offsets
+    (each sequence's current length). Returns (x_out, updated layer_kv)."""
+    from qtpu.serve.kvcache import cache_layer_write
+
+    cos, sin = rope
+    B, T, D = x.shape
+    qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
+    quantized = layer_kv[2] is not None
+
+    h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+    q = linear(h, lp["q_proj"], qm("q_proj")).reshape(
+        B, T, cfg.num_heads, cfg.head_dim
+    )
+    k = linear(h, lp["k_proj"], qm("k_proj")).reshape(
+        B, T, cfg.num_kv_heads, cfg.head_dim
+    )
+    v = linear(h, lp["v_proj"], qm("v_proj")).reshape(
+        B, T, cfg.num_kv_heads, cfg.head_dim
+    )
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
+    attn = _cached_attention(q, layer_kv, mask, cfg)
+    x = x + linear(attn, lp["o_proj"], qm("o_proj"))
+
+    h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+    gate = linear(h, lp["gate_proj"], qm("gate_proj"))
+    up = linear(h, lp["up_proj"], qm("up_proj"))
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    x = x + linear(act, lp["down_proj"], qm("down_proj"))
+    return x, layer_kv
+
+
+@partial(jax.jit, static_argnames=("cfg", "qmeta"))
+def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qmeta=None):
+    """Incremental forward for serving: prefill (T = prompt length) and
+    decode (T = 1) share this path.
+
+    input_ids [B, T]; positions [B, T] absolute positions per token (each
+    sequence may be at a different offset — continuous batching). Writes
+    K/V into `cache` (qtpu.serve.kvcache.KVCache) at positions[:, 0] and
+    attends over the full cache with a per-sequence causal mask. Returns
+    (logits [B, T, V], updated cache).
+    """
+    from qtpu.serve.kvcache import KVCache
+
+    qmeta_d = dict(qmeta) if qmeta is not None else None
+    B, T = input_ids.shape
+    S = cache.max_len
+    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    kpos = jnp.arange(S)
+    mask = kpos[None, None, :] <= positions[:, :, None]  # [B, T, S]
+    start = positions[:, 0]
+
+    def body(x, xs):
+        lp, kc, vc, ksc, vsc = xs
+        x, layer_kv = _layer_fwd_cached(
+            x, lp, (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d
+        )
+        return x, layer_kv
+
+    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    qmh = None if qmeta_d is None else qmeta_d.get("lm_head")
+    logits = linear(x, params["lm_head"], qmh).astype(jnp.float32)
+    new_cache = KVCache(
+        k=k_new,
+        v=v_new,
+        k_scale=ks_new,
+        v_scale=vs_new,
+        length=jnp.maximum(cache.length, positions[:, -1] + 1),
+    )
+    return logits, new_cache
+
+
 @partial(jax.jit, static_argnames=("cfg", "capture", "qmeta"))
 def forward(
     params: dict,

@@ -67,10 +67,14 @@ def linear(x: jnp.ndarray, p: dict, site_meta=None) -> jnp.ndarray:
     if "smooth" in p:
         x = x * p["smooth"].astype(x.dtype)
     if "w" in p:
-        return x @ p["w"].astype(x.dtype)
-    return quantized_matmul(
-        x, p["data"], p["scales"], p.get("zeros"), site_meta
-    )
+        y = x @ p["w"].astype(x.dtype)
+    else:
+        y = quantized_matmul(
+            x, p["data"], p["scales"], p.get("zeros"), site_meta
+        )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
 
 
 def channel_stats(x: jnp.ndarray):

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from qtpu.calib.stats import CalibStats
 from qtpu.core.packing import quantize_pack
-from qtpu.models.llama import LAYER_SITES, SITE_OF_INPUT
+from qtpu.models import get_arch
 from qtpu.quant.apot import apot_quantize_tensor
 from qtpu.quant.awq import _protection_scale_vec, awq_quantize, awq_search_scale_factor
 from qtpu.quant.gptq import (
@@ -33,11 +33,8 @@ from qtpu.quant.pot import pot_quantize_tensor
 from qtpu.quant.rtn import pseudo_quantize
 from qtpu.quant.smoothquant import compute_smoothing_scales, search_alpha, smooth_weights
 
-ALL_SITES = LAYER_SITES + ("lm_head",)
-
-
-def _input_site_of(linear_site: str) -> str:
-    for in_site, linears in SITE_OF_INPUT.items():
+def _input_site_of(linear_site: str, arch) -> str:
+    for in_site, linears in arch.SITE_OF_INPUT.items():
         if linear_site in linears:
             return in_site
     raise KeyError(linear_site)
@@ -49,15 +46,24 @@ def _grid(mcfg: dict, default_step: float) -> tuple:
     return (float(lo), float(hi), float(step))
 
 
-def _map_sites(params: dict, fn):
+def _map_sites(params: dict, fn, arch):
     """Apply fn(site, w_kn, has_layer_axis) to every linear site's dense
-    weight; returns a new params pytree (norms/embeddings untouched)."""
+    weight; returns a new params pytree. Norms/embeddings are untouched;
+    per-site extras the quantizer doesn't produce (biases) carry over."""
+
+    def rebuild(site, old, has_l):
+        out = fn(site, old["w"], has_l)
+        for k in old:
+            if k not in out and k != "w":
+                out[k] = old[k]
+        return out
+
     new = dict(params)
     new_layers = dict(params["layers"])
-    for site in LAYER_SITES:
-        new_layers[site] = fn(site, params["layers"][site]["w"], True)
+    for site in arch.LAYER_SITES:
+        new_layers[site] = rebuild(site, params["layers"][site], True)
     new["layers"] = new_layers
-    new["lm_head"] = fn("lm_head", params["lm_head"]["w"], False)
+    new["lm_head"] = rebuild("lm_head", params["lm_head"], False)
     return new
 
 
@@ -66,6 +72,7 @@ def quantize_model(
     method: str,
     mcfg: dict,
     stats: CalibStats | None = None,
+    arch: str = "llama",
 ) -> dict:
     """Fake-quantize every linear site of a model with `method`.
 
@@ -75,6 +82,7 @@ def quantize_model(
     equivalent (the reference's forward pre-hook,
     smooth_quant_quantizer.py:178-199).
     """
+    arch_mod = get_arch(arch)
     w_bit = int(mcfg["w_bit"])
     g = int(mcfg.get("q_group_size", -1))
 
@@ -117,7 +125,7 @@ def quantize_model(
         do_search = bool(mcfg.get("search_scale", False))
 
         def fn(site, w, has_l):
-            imp = stats.importance(_input_site_of(site))
+            imp = stats.importance(_input_site_of(site, arch_mod))
 
             def one(w_kn, imp_l):
                 w_oi = w_kn.T
@@ -143,7 +151,7 @@ def quantize_model(
         nsamples = int(mcfg.get("nsamples", 128))
 
         def fn(site, w, has_l):
-            in_site = _input_site_of(site)
+            in_site = _input_site_of(site, arch_mod)
             if not comp:
                 # parity mode: order-independent per-column symmetric quant
                 def one(w_kn):
@@ -187,7 +195,7 @@ def quantize_model(
         do_search = bool(mcfg.get("search_alpha", False))
 
         def fn(site, w, has_l):
-            amax = stats.max_abs[_input_site_of(site)]
+            amax = stats.max_abs[_input_site_of(site, arch_mod)]
 
             def one(w_kn, amax_l):
                 w_oi = w_kn.T
@@ -210,7 +218,7 @@ def quantize_model(
     else:
         raise ValueError(f"unknown quantization method '{method}'")
 
-    return _map_sites(params, fn)
+    return _map_sites(params, fn, arch_mod)
 
 
 def _vt(tensor_fn, w, has_l, **kw):
@@ -228,6 +236,7 @@ def pack_model(
     method: str,
     mcfg: dict,
     stats: CalibStats | None = None,
+    arch: str = "llama",
 ):
     """Really-pack a model's linear sites for serving.
 
@@ -236,6 +245,7 @@ def pack_model(
     packed RTN of smoothed weight). Returns (packed_params, qmeta) where
     qmeta is the hashable tuple the model forward takes.
     """
+    arch_mod = get_arch(arch)
     w_bit = int(mcfg["w_bit"])
     g = int(mcfg.get("q_group_size", 128))
     if g <= 0:
@@ -257,7 +267,7 @@ def pack_model(
         elif method == "awq":
             protect = float(mcfg.get("protect_ratio", 0.01))
             sf = float(mcfg.get("scale_factor", 1.0))
-            imp = stats.importance(_input_site_of(site))
+            imp = stats.importance(_input_site_of(site, arch_mod))
 
             def vec(imp_l):
                 return _protection_scale_vec(imp_l, protect, sf)
@@ -268,7 +278,7 @@ def pack_model(
             smooth = 1.0 / v
         elif method == "smoothquant":
             alpha = mcfg.get("alpha", 0.5)
-            amax = stats.max_abs[_input_site_of(site)]
+            amax = stats.max_abs[_input_site_of(site, arch_mod)]
 
             def sm(w_kn, amax_l):
                 s = compute_smoothing_scales(amax_l, w_kn.T, alpha)
@@ -292,6 +302,6 @@ def pack_model(
         metas[site] = meta
         return p
 
-    packed = _map_sites(params, fn)
+    packed = _map_sites(params, fn, arch_mod)
     qmeta = tuple(sorted(metas.items()))
     return packed, qmeta

@@ -59,9 +59,9 @@ def test_symmetric_reference_math(rng):
 
 def test_int4_pack_roundtrip(rng):
     q = jax.random.randint(rng, (64, 32), 0, 16, jnp.int32)
-    packed = pack_int4(q)
+    packed = pack_int4(q, 64)
     assert packed.shape == (32, 32) and packed.dtype == jnp.int8
-    back = unpack_int4(packed)
+    back = unpack_int4(packed, 64)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(q, np.uint8))
 
 

@@ -1,0 +1,161 @@
+"""Serving tests: KV-cache correctness (bf16 + int8), cached decode parity
+with the full forward, sampling, and the continuous batcher."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qtpu.models import TINY_TEST, forward, init_params
+from qtpu.quant.apply import pack_model
+from qtpu.serve import ContinuousBatcher, init_cache
+from qtpu.serve.decode import decode_step, greedy_generate, prefill, sample_token
+from qtpu.serve.kvcache import dequantize_kv, quantize_kv
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _greedy_reference(params, cfg, prompt, n):
+    """Teacher-forced greedy continuation via the full (cacheless) forward —
+    the ground truth the cached path must reproduce."""
+    ids = list(np.asarray(prompt).reshape(-1))
+    out = []
+    for _ in range(n):
+        logits = forward(params, jnp.asarray([ids]), cfg)
+        tok = int(jnp.argmax(logits[0, -1]))
+        out.append(tok)
+        ids.append(tok)
+    return out
+
+
+def test_kv_quantize_roundtrip(rng):
+    x = jax.random.normal(rng, (4, 16, 2, 64))
+    q, s = quantize_kv(x)
+    back = dequantize_kv(q, s, jnp.float32)
+    err = float(jnp.abs(back - x).max() / jnp.abs(x).max())
+    assert err < 0.02
+    assert q.dtype == jnp.int8
+
+
+def test_cached_prefill_matches_forward(setup):
+    """Prefill logits at the last position == full forward's last position."""
+    cfg, params = setup
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, cfg.vocab_size)
+    full = forward(params, ids, cfg)
+    cache = init_cache(cfg, 2, 64)
+    last, cache = prefill(params, ids, cache, cfg)
+    np.testing.assert_allclose(
+        np.asarray(last), np.asarray(full[:, -1, :]), rtol=2e-2, atol=2e-2
+    )
+    assert int(cache.length[0]) == 16
+
+
+def test_greedy_generate_matches_cacheless(setup):
+    cfg, params = setup
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, cfg.vocab_size)
+    expect = _greedy_reference(params, cfg, prompt, 6)
+    cache = init_cache(cfg, 1, 64)
+    toks, _ = greedy_generate(params, prompt, cache, cfg, n_tokens=6)
+    got = list(np.asarray(toks[0]))
+    assert got == expect
+
+
+def test_int8_kv_cache_close_to_bf16(setup):
+    """INT8 KV generations should rarely diverge from bf16 on a short
+    horizon; logits of the first decode step must be close."""
+    cfg, params = setup
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (2, 8), 0, cfg.vocab_size)
+    c16 = init_cache(cfg, 2, 64)
+    c8 = init_cache(cfg, 2, 64, quantized=True)
+    l16, c16 = prefill(params, prompt, c16, cfg)
+    l8, c8 = prefill(params, prompt, c8, cfg)
+    rel = float(
+        jnp.abs(l8 - l16).max() / jnp.clip(jnp.abs(l16).max(), 1e-6, None)
+    )
+    assert rel < 0.1
+    assert c8.k.dtype == jnp.int8
+
+
+def test_decode_step_positions(setup):
+    """Per-sequence positions: two sequences at different offsets decode
+    independently and update lengths correctly."""
+    cfg, params = setup
+    cache = init_cache(cfg, 2, 64)
+    p1 = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, cfg.vocab_size)
+    _, cache = prefill(params, p1, cache, cfg)
+    tok = jnp.array([3, 7], jnp.int32)
+    pos = jnp.array([8, 8], jnp.int32)
+    logits, cache = decode_step(params, tok, pos, cache, cfg)
+    assert logits.shape == (2, cfg.vocab_size)
+    assert list(np.asarray(cache.length)) == [9, 9]
+
+
+def test_sampling_modes(rng):
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(4, 100)), jnp.float32)
+    g = sample_token(logits, rng, temperature=0.0)
+    assert list(np.asarray(g)) == list(np.asarray(jnp.argmax(logits, -1)))
+    t = sample_token(logits, rng, temperature=1.0, top_k=10)
+    assert t.shape == (4,)
+    p = sample_token(logits, rng, temperature=0.8, top_p=0.9)
+    assert p.shape == (4,)
+
+
+def test_packed_generate(setup):
+    """Generation through the packed-W4 path produces valid tokens."""
+    cfg, params = setup
+    packed, qmeta = pack_model(params, "rtn", {"w_bit": 4, "q_group_size": 64})
+    prompt = jax.random.randint(jax.random.PRNGKey(6), (1, 8), 0, cfg.vocab_size)
+    cache = init_cache(cfg, 1, 64)
+    toks, _ = greedy_generate(packed, prompt, cache, cfg, n_tokens=4, qmeta=qmeta)
+    assert toks.shape == (1, 4)
+    assert bool(jnp.all((toks >= 0) & (toks < cfg.vocab_size)))
+
+
+def test_continuous_batcher_matches_greedy(setup):
+    """Batcher output for simultaneous greedy requests must equal the
+    single-sequence cached greedy path."""
+    cfg, params = setup
+    prompts = [
+        np.asarray(
+            jax.random.randint(jax.random.PRNGKey(10 + i), (6 + i,), 0, cfg.vocab_size)
+        )
+        for i in range(3)
+    ]
+    expected = []
+    for p in prompts:
+        cache = init_cache(cfg, 1, 128)
+        toks, _ = greedy_generate(params, jnp.asarray(p)[None], cache, cfg, n_tokens=5)
+        expected.append(list(np.asarray(toks[0])))
+
+    eng = ContinuousBatcher(params, cfg, max_batch=2, max_seq_len=128)
+    reqs = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    done = eng.run()
+    assert len(done) == 3
+    for req, exp in zip(reqs, expected):
+        assert req.done
+        assert req.output == exp, (req.output, exp)
+
+
+def test_batcher_staggered_admission(setup):
+    """A request submitted mid-flight joins without corrupting others."""
+    cfg, params = setup
+    p1 = np.asarray([1, 2, 3, 4, 5, 6])
+    p2 = np.asarray([7, 8, 9, 10])
+    cache = init_cache(cfg, 1, 128)
+    exp1, _ = greedy_generate(params, jnp.asarray(p1)[None], cache, cfg, n_tokens=6)
+    cache = init_cache(cfg, 1, 128)
+    exp2, _ = greedy_generate(params, jnp.asarray(p2)[None], cache, cfg, n_tokens=4)
+
+    eng = ContinuousBatcher(params, cfg, max_batch=2, max_seq_len=128)
+    r1 = eng.submit(p1, max_new_tokens=6)
+    eng.step()  # r1 admitted + 1 decode
+    eng.step()
+    r2 = eng.submit(p2, max_new_tokens=4)  # joins while r1 mid-flight
+    eng.run()
+    assert r1.output == list(np.asarray(exp1[0]))
+    assert r2.output == list(np.asarray(exp2[0]))
