@@ -20,11 +20,15 @@ class BenchmarkResult:
         self.bits_per_byte: Optional[float] = None
         self.runtime_seconds: Optional[float] = None
         self.error: Optional[str] = None
-        # qtpu extension: really-packed size (the reference can only account)
+        # qtpu extensions: really-packed size (the reference can only
+        # account) and serving throughput (the reference has no serving)
         self.packed_size_bits: Optional[int] = None
+        self.tokens_per_second: Optional[float] = None
 
     def is_success(self) -> bool:
-        return self.error is None and self.perplexity is not None
+        return self.error is None and (
+            self.perplexity is not None or self.tokens_per_second is not None
+        )
 
     def to_dict(self) -> dict:
         d = {
@@ -39,11 +43,19 @@ class BenchmarkResult:
         }
         if self.packed_size_bits is not None:
             d["packed_size_bits"] = self.packed_size_bits
+        if self.tokens_per_second is not None:
+            d["tokens_per_second"] = self.tokens_per_second
         return d
 
     def __str__(self) -> str:
         if not self.is_success():
             return f"{self.method_name:<12} | ERROR: {self.error}"
+        if self.perplexity is None and self.tokens_per_second is not None:
+            return (
+                f"{self.method_name:<12} | "
+                f"{self.tokens_per_second:8.1f} tokens/s/chip | "
+                f"Time: {self.runtime_seconds or 0:.2f}s"
+            )
         bits = (
             f"{self.bits_per_byte:.2f}" if self.bits_per_byte is not None else "N/A"
         )

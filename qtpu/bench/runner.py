@@ -137,16 +137,25 @@ class QuantizationBenchmark:
         result.bits_per_byte = size_bits / orig if orig > 0 else None
 
     def _eval(self, params, qmeta=None) -> float:
-        return evaluate_perplexity(
-            params,
-            np.asarray(self.test_dataset),
-            self.model_cfg,
-            n_samples=self.config.get("n_test_samples", 40),
-            block_size=self.config.get("test_block_size", 2048),
-            qmeta=qmeta,
-            arch=self.model_cfg.arch,
-            verbose=self.verbose,
-        )
+        import contextlib
+
+        profile_dir = self.config.get("profile_dir")
+        ctx = contextlib.nullcontext()
+        if profile_dir:
+            from qtpu.utils.timing import profile_trace
+
+            ctx = profile_trace(profile_dir)  # Perfetto/TensorBoard trace
+        with ctx:
+            return evaluate_perplexity(
+                params,
+                np.asarray(self.test_dataset),
+                self.model_cfg,
+                n_samples=self.config.get("n_test_samples", 40),
+                block_size=self.config.get("test_block_size", 2048),
+                qmeta=qmeta,
+                arch=self.model_cfg.arch,
+                verbose=self.verbose,
+            )
 
     # ------------------------------------------------------- method runs
     def benchmark_raw_model(self):
@@ -219,11 +228,90 @@ class QuantizationBenchmark:
     def benchmark_smoothquant(self):
         return self.benchmark_method("smoothquant")
 
+    def benchmark_serving(self, method: str | None = None):
+        """Decode-throughput benchmark through the packed serving path
+        (tokens/s/chip — the metric BASELINE.md notes the reference never
+        publishes). Records a 'serving' pseudo-method result. Enabled via
+        config["serving"]["benchmark"] = true."""
+        scfg = self.config.get("serving", {})
+        method = method or scfg.get("pack_method", "rtn")
+        mcfg = self.config["quantization_config"].get(
+            method, {"w_bit": 4, "q_group_size": 128}
+        )
+        result = BenchmarkResult("serving", {"pack_method": method, **mcfg})
+        try:
+            import jax.numpy as jnp
+
+            from qtpu.quant.apply import pack_model
+            from qtpu.serve import init_cache
+            from qtpu.serve.decode import decode_step, prefill
+
+            start = time.time()
+            needs_stats = method in ("awq", "smoothquant")
+            if needs_stats:
+                self._prepare_activations(need_hessian=False)
+            packed, qmeta = pack_model(
+                self.params,
+                method,
+                mcfg,
+                self.stats if needs_stats else None,
+                arch=self.model_cfg.arch,
+            )
+            B = int(scfg.get("max_batch_size", 8))
+            P = min(128, self.model_cfg.max_seq_len // 2)
+            quant_kv = scfg.get("kv_cache_dtype", "int8") == "int8"
+            prompt = jnp.asarray(
+                np.random.default_rng(0).integers(
+                    0, self.model_cfg.vocab_size, (B, P)
+                ),
+                jnp.int32,
+            )
+
+            def run(n_steps):
+                cache = init_cache(
+                    self.model_cfg, B, P + 64, quantized=quant_kv
+                )
+                t0 = time.perf_counter()
+                logits, cache = prefill(
+                    packed, prompt, cache, self.model_cfg, qmeta,
+                    arch=self.model_cfg.arch,
+                )
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+                pos = jnp.full((B,), P, jnp.int32)
+                for _ in range(n_steps):
+                    logits, cache = decode_step(
+                        packed, tok, pos, cache, self.model_cfg, qmeta,
+                        arch=self.model_cfg.arch,
+                    )
+                    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+                    pos = pos + 1
+                float(jnp.sum(tok))
+                return time.perf_counter() - t0
+
+            run(2)  # compile
+            per_tok = max((run(34) - run(2)) / 32, 1e-9)
+            result.perplexity = None
+            result.runtime_seconds = time.time() - start
+            result.error = None
+            result.tokens_per_second = B / per_tok
+            self.log(
+                f"✓ serving[{method}]: {B / per_tok:.1f} tokens/s/chip "
+                f"(batch {B}, {'int8' if quant_kv else 'bf16'} KV)"
+            )
+        except Exception as e:
+            result.error = str(e)
+            traceback.print_exc()
+            self.log(f"✗ serving - Error: {e}")
+        self.results["serving"] = result
+        return result
+
     def run_all_benchmarks(self):
         self.setup()
         self.benchmark_raw_model()
         for method in METHODS:
             self.benchmark_method(method)
+        if self.config.get("serving", {}).get("benchmark", False):
+            self.benchmark_serving()
         self.print_summary()
 
     # ---------------------------------------------------------- reporting
@@ -241,7 +329,11 @@ class QuantizationBenchmark:
         if raw and raw.is_success():
             self.log("\nImprovements vs Raw Model:")
             for name, result in self.results.items():
-                if name != "raw" and result.is_success():
+                if (
+                    name != "raw"
+                    and result.is_success()
+                    and result.perplexity is not None
+                ):
                     ppl_deg = (result.perplexity / raw.perplexity - 1) * 100
                     size_red = (1 - result.model_size_mb / raw.model_size_mb) * 100
                     self.log(

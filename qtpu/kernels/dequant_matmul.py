@@ -62,3 +62,16 @@ def quantized_matmul(x, data, scales, zeros, meta):
         except NotImplementedError:
             pass
     return _quantized_matmul_ref(x, data, scales, zeros, meta)
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def codebook_matmul(x, data, scales, codebook, meta):
+    """y = x @ (scales ∘ codebook[codes]) for POT/APOT codebook-packed
+    weights. data: int4-packed codes (group-halves); scales [K/g, N];
+    codebook [n_levels] f32 level values (|level| ≤ max level; scale caps
+    magnitude). XLA path; Pallas LUT kernel is a future optimization."""
+    bits, group_size, K, N = meta
+    codes = unpack_int4(data, group_size).astype(jnp.int32)  # [K, N]
+    w = codebook[codes].reshape(K // group_size, group_size, N)
+    w = w * scales.astype(jnp.float32).reshape(K // group_size, 1, N)
+    return x @ w.reshape(K, N).astype(x.dtype)

@@ -68,6 +68,10 @@ def linear(x: jnp.ndarray, p: dict, site_meta=None) -> jnp.ndarray:
         x = x * p["smooth"].astype(x.dtype)
     if "w" in p:
         y = x @ p["w"].astype(x.dtype)
+    elif "codebook" in p:
+        from qtpu.kernels.dequant_matmul import codebook_matmul
+
+        y = codebook_matmul(x, p["data"], p["scales"], p["codebook"], site_meta)
     else:
         y = quantized_matmul(
             x, p["data"], p["scales"], p.get("zeros"), site_meta

@@ -109,3 +109,60 @@ def apot_quantize_tensor(
 
     w_q = best_scale * _nearest_level(w / best_scale, levels)
     return w_q.reshape(orig_shape).astype(orig_dtype)
+
+
+def _nearest_index(x: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:
+    idx = jnp.searchsorted(levels, x)
+    lo = jnp.clip(idx - 1, 0, levels.size - 1)
+    hi = jnp.clip(idx, 0, levels.size - 1)
+    pick_lo = jnp.abs(x - levels[lo]) <= jnp.abs(x - levels[hi])
+    return jnp.where(pick_lo, lo, hi)
+
+
+@partial(jax.jit, static_argnames=("n_bit", "group_size", "k", "grid"))
+def apot_quantize_codes(
+    w_kn: jnp.ndarray,
+    n_bit: int = 4,
+    group_size: int = 128,
+    k: int = 2,
+    grid: tuple = (0.01, 2.01, 0.05),
+):
+    """Packed-serving variant of APOT: quantize a [K, N] weight (groups
+    tiling K) to CODEBOOK INDICES.
+
+    The codebook is capped at 2^n_bit levels so indices fit n_bit bits
+    (the fake-quant path caps at 32 like the reference,
+    pot_apot_quantizer.py:243-247 — at n_bit=4 packed storage therefore
+    uses a 16-level subsample; a one-quantum fidelity trade for real 4-bit
+    storage). Returns (codes uint8 [K, N], scales f32 [K/g, N],
+    codebook f32 [≤2^n_bit]); decode w = scale · codebook[code].
+    """
+    K, N = w_kn.shape
+    g = group_size
+    levels = jnp.asarray(full_apot_codebook(n_bit, k, max_levels=2**n_bit))
+    w = w_kn.astype(jnp.float32).reshape(K // g, g, N)
+
+    s0 = jnp.clip(jnp.max(jnp.abs(w), axis=1, keepdims=True), 1e-5, None)
+    start, stop, step = grid
+    candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
+
+    def scan_step(carry, c):
+        best_err, best_scale = carry
+        s_c = s0 * c
+        w_q = s_c * _nearest_level(w / s_c, levels)
+        err = jnp.sum((w - w_q) ** 2, axis=1, keepdims=True)
+        take = err < best_err
+        return (
+            jnp.where(take, err, best_err),
+            jnp.where(take, s_c, best_scale),
+        ), None
+
+    init = (jnp.full((K // g, 1, N), jnp.inf, jnp.float32), s0)
+    (_, s), _ = jax.lax.scan(scan_step, init, candidates)
+
+    codes = _nearest_index(w / s, levels)
+    return (
+        codes.reshape(K, N).astype(jnp.uint8),
+        s.reshape(K // g, N),
+        levels,
+    )

@@ -22,14 +22,18 @@ import jax.numpy as jnp
 from qtpu.calib.stats import CalibStats
 from qtpu.core.packing import quantize_pack
 from qtpu.models import get_arch
-from qtpu.quant.apot import apot_quantize_tensor
+from qtpu.quant.apot import apot_quantize_codes, apot_quantize_tensor
 from qtpu.quant.awq import _protection_scale_vec, awq_quantize, awq_search_scale_factor
 from qtpu.quant.gptq import (
     _parity_column_quantize,
     build_proxy_hessian,
     gptq_quantize_layer,
 )
-from qtpu.quant.pot import pot_quantize_tensor
+from qtpu.quant.pot import (
+    pot_codebook as _pot_codebook,
+    pot_quantize_codes,
+    pot_quantize_tensor,
+)
 from qtpu.quant.rtn import pseudo_quantize
 from qtpu.quant.smoothquant import compute_smoothing_scales, search_alpha, smooth_weights
 
@@ -288,6 +292,81 @@ def pack_model(
                 w_eff, smooth = jax.vmap(sm)(w, amax)
             else:
                 w_eff, smooth = sm(w, amax)
+        elif method in ("pot", "apot"):
+            if w_bit != 4:
+                raise ValueError("codebook packing supports w_bit=4 only")
+            grid = _grid(mcfg, 0.01 if method == "pot" else 0.05)
+
+            def cb_one(w_kn):
+                if method == "pot":
+                    codes, sc = pot_quantize_codes(w_kn, w_bit, g, grid)
+                    cb = _pot_codebook(w_bit)
+                else:
+                    codes, sc, cb = apot_quantize_codes(
+                        w_kn, w_bit, g, int(mcfg.get("k", 2)), grid
+                    )
+                from qtpu.core.packing import pack_int4
+
+                return {
+                    "data": pack_int4(codes, g),
+                    "scales": sc.astype(jnp.bfloat16),
+                    "codebook": cb,
+                }
+
+            p = jax.vmap(cb_one)(w) if has_l else cb_one(w)
+            metas[site] = (w_bit, g, w.shape[-2], w.shape[-1])
+            return p
+        elif method == "gptq":
+            # full error-compensated GPTQ with integer export (actorder off)
+            if stats is None:
+                raise ValueError("gptq packing requires calibration stats")
+            in_site = _input_site_of(site, arch_mod)
+            damp = float(mcfg.get("perp_damp", 0.01))
+            nsamples = int(mcfg.get("nsamples", 128))
+            if stats.hessian is not None and in_site in stats.hessian:
+                H_all = stats.hessian[in_site]
+            else:
+                mv = stats.mean_abs[in_site][:nsamples]
+                H_all = (
+                    jax.vmap(build_proxy_hessian, in_axes=1)(mv)
+                    if has_l
+                    else build_proxy_hessian(mv)
+                )
+
+            from qtpu.core.packing import pack_int4
+
+            def gptq_one(args):
+                w_kn, H = args
+                _, q, s_all, z_all = gptq_quantize_layer(
+                    w_kn.T,
+                    H,
+                    w_bit,
+                    q_group_size=g,
+                    perp_damp=damp,
+                    blocksize=max(int(mcfg.get("blocksize", 128)), g),
+                    actorder=False,
+                    error_compensation=True,
+                    return_ints=True,
+                )
+                # [out, in] codes → qtpu layout [K=in, N=out]
+                codes = q.T.astype(jnp.uint8)
+                scales = s_all.T.astype(jnp.bfloat16)  # [K/g, N]
+                zeros = z_all.T.astype(jnp.uint8)
+                if w_bit == 4:
+                    data = pack_int4(codes, g)
+                elif w_bit == 8:
+                    data = (codes.astype(jnp.int32) - 128).astype(jnp.int8)
+                else:
+                    raise ValueError("gptq packing supports w_bit in (4, 8)")
+                return {"data": data, "scales": scales, "zeros": zeros}
+
+            p = (
+                jax.lax.map(gptq_one, (w, H_all))
+                if has_l
+                else gptq_one((w, H_all))
+            )
+            metas[site] = (w_bit, g, w.shape[-2], w.shape[-1])
+            return p
         else:
             raise ValueError(f"pack_model does not support method '{method}'")
 

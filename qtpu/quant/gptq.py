@@ -87,8 +87,14 @@ def gptq_quantize_layer(
     blocksize: int = 128,
     actorder: bool = False,
     error_compensation: bool = True,
+    return_ints: bool = False,
 ) -> jnp.ndarray:
-    """GPTQ-quantize one [out, in] weight with Hessian H [in, in]."""
+    """GPTQ-quantize one [out, in] weight with Hessian H [in, in].
+
+    return_ints=True (full mode, actorder off) additionally returns the
+    integer codes and per-(row, group) scales/zeros for packed export:
+    (Wq, q [out, in] ∈ [0, 2^b), scales [out, in/g], zeros [out, in/g]).
+    """
     orig_dtype = W.dtype
     Wf = W.astype(jnp.float32)
     C = Wf.shape[1]
@@ -97,7 +103,13 @@ def gptq_quantize_layer(
         # Parity mode: actorder permutation + per-column quant + inverse
         # permutation — but the per-column quant is order-independent, so
         # the permutation cancels exactly. One vectorized op.
+        if return_ints:
+            raise NotImplementedError("return_ints needs error_compensation")
         return _parity_column_quantize(Wf, n_bit).astype(orig_dtype)
+    if return_ints and actorder:
+        raise NotImplementedError(
+            "packed export with actorder would scatter groups (g_idx); off"
+        )
 
     H = H.astype(jnp.float32)
     # damping relative to mean diagonal (standard GPTQ practice)
@@ -123,6 +135,10 @@ def gptq_quantize_layer(
     B = min(blocksize, g)  # align compensation blocks to scale groups
     if C % B != 0:
         B = g if C % g == 0 else C
+    if return_ints and B != g:
+        raise NotImplementedError(
+            f"packed export needs block == group ({B} != {g}); set blocksize >= q_group_size"
+        )
     n_blocks = C // B
     max_int = 2**n_bit - 1
 
@@ -135,7 +151,7 @@ def gptq_quantize_layer(
         col_idx = jnp.arange(B)
 
         def body(j, carry):
-            Wb, Err = carry
+            Wb, Err, Q = carry
             wj = jax.lax.dynamic_slice_in_dim(Wb, j, 1, axis=1)  # [out,1]
             qj = jnp.clip(jnp.round(wj / scales) + zeros, 0, max_int)
             dqj = (qj - zeros) * scales
@@ -146,20 +162,29 @@ def gptq_quantize_layer(
             Wb = Wb - err @ (urow * mask)
             Wb = jax.lax.dynamic_update_slice_in_dim(Wb, dqj, j, axis=1)
             Err = jax.lax.dynamic_update_slice_in_dim(Err, err, j, axis=1)
-            return Wb, Err
+            Q = jax.lax.dynamic_update_slice_in_dim(Q, qj, j, axis=1)
+            return Wb, Err, Q
 
-        return jax.lax.fori_loop(0, B, body, (Wblk, jnp.zeros_like(Wblk)))
+        return jax.lax.fori_loop(
+            0, B, body, (Wblk, jnp.zeros_like(Wblk), jnp.zeros_like(Wblk))
+        )
 
     W_work = Wf
     out_cols = []
+    q_cols = []
+    s_cols = []
+    z_cols = []
     for b in range(n_blocks):
         lo = b * B
         Wblk = W_work[:, lo : lo + B]
         # scales frozen at group entry from the *current* (compensated) block
         scales, zeros = _group_params(Wblk, n_bit)
         Ublk = U[lo : lo + B, lo : lo + B]
-        Wq_blk, Err = quantize_block(Wblk, Ublk, scales, zeros)
+        Wq_blk, Err, Q_blk = quantize_block(Wblk, Ublk, scales, zeros)
         out_cols.append(Wq_blk)
+        q_cols.append(Q_blk)
+        s_cols.append(scales)
+        z_cols.append(zeros)
         if lo + B < C:
             # rank-B cross-block update for all trailing columns (one matmul)
             W_tail = W_work[:, lo + B :] - Err @ U[lo : lo + B, lo + B :]
@@ -168,4 +193,10 @@ def gptq_quantize_layer(
 
     if inv_perm is not None:
         Wq = Wq[:, inv_perm]
-    return Wq.astype(orig_dtype)
+    if not return_ints:
+        return Wq.astype(orig_dtype)
+    # B == g here when exporting (blocks aligned to scale groups)
+    q = jnp.concatenate(q_cols, axis=1)
+    s_all = jnp.concatenate(s_cols, axis=1)  # [out, n_blocks]
+    z_all = jnp.concatenate(z_cols, axis=1)
+    return Wq.astype(orig_dtype), q, s_all, z_all

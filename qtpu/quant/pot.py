@@ -80,3 +80,64 @@ def pot_quantize_tensor(
     best_scale = jnp.clip(best_scale, _TINY, None)
     w_q = _pot_reconstruct(w, best_scale, e_max_idx)
     return w_q.reshape(orig_shape).astype(orig_dtype)
+
+
+def pot_codebook(n_bit: int) -> jnp.ndarray:
+    """Level table for POT codes: index = signbit<<(b−1) | E →
+    (1 − 2·signbit)·2^E."""
+    nl = 2 ** (n_bit - 1)
+    pos = jnp.exp2(jnp.arange(nl, dtype=jnp.float32))
+    return jnp.concatenate([pos, -pos])
+
+
+@partial(jax.jit, static_argnames=("n_bit", "group_size", "grid"))
+def pot_quantize_codes(
+    w_kn: jnp.ndarray,
+    n_bit: int = 4,
+    group_size: int = 128,
+    grid: tuple = (0.01, 2.01, 0.01),
+):
+    """Packed-serving variant: quantize a [K, N] weight (groups tiling K)
+    to POT CODES instead of fake values.
+
+    Returns (codes uint8 [K, N] with sign<<(b−1) | E, scales f32 [K/g, N]).
+    Decode: w = scale · (1 − 2·signbit) · 2^E. Note: exact-zero weights
+    decode to +scale·2^0 (the smallest positive level) — the sign(0)=0 case
+    the fake-quant path preserves has no code; error is one quantum.
+    """
+    K, N = w_kn.shape
+    g = group_size
+    w = w_kn.astype(jnp.float32).reshape(K // g, g, N)
+    n_levels = 2 ** (n_bit - 1)
+    e_max_idx = n_levels - 1
+
+    max_val = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+    e_min = jnp.floor(jnp.log2(jnp.clip(max_val, 1e-12, None))) - e_max_idx
+    s0 = jnp.clip(jnp.exp2(e_min), _TINY, None)
+
+    start, stop, step = grid
+    candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
+
+    def scan_step(carry, c):
+        best_err, best_scale = carry
+        s_c = jnp.clip(s0 * c, _TINY, None)
+        w_q = _pot_reconstruct(w, s_c, e_max_idx)
+        err = jnp.sum((w - w_q) ** 2, axis=1, keepdims=True)
+        take = err < best_err
+        return (
+            jnp.where(take, err, best_err),
+            jnp.where(take, s_c, best_scale),
+        ), None
+
+    init = (jnp.full((K // g, 1, N), jnp.inf, jnp.float32), s0)
+    (_, s), _ = jax.lax.scan(scan_step, init, candidates)
+    s = jnp.clip(s, _TINY, None)
+
+    ratio = jnp.clip(jnp.abs(w) / s, 1e-10, None)
+    E = jnp.clip(jnp.round(jnp.log2(ratio)), 0, e_max_idx).astype(jnp.int32)
+    signbit = (w < 0).astype(jnp.int32)
+    codes = (signbit << (n_bit - 1)) | E
+    return (
+        codes.reshape(K, N).astype(jnp.uint8),
+        s.reshape(K // g, N),
+    )

@@ -20,7 +20,11 @@ import numpy as np
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m qtpu.serve", description=__doc__)
     ap.add_argument("--model", default="tiny-test")
-    ap.add_argument("--method", default="rtn", choices=["none", "rtn", "awq", "smoothquant"])
+    ap.add_argument(
+        "--method",
+        default="rtn",
+        choices=["none", "rtn", "awq", "smoothquant", "gptq", "pot", "apot"],
+    )
     ap.add_argument("--w-bit", type=int, default=4)
     ap.add_argument("--group", type=int, default=64)
     ap.add_argument("--kv", default="bfloat16", choices=["bfloat16", "int8"])
@@ -44,7 +48,7 @@ def main(argv=None) -> int:
         from qtpu.quant.apply import pack_model
 
         stats = None
-        if args.method in ("awq", "smoothquant"):
+        if args.method in ("awq", "smoothquant", "gptq"):
             batches = [
                 np.random.default_rng(i).integers(
                     0, cfg.vocab_size, (1, 64), dtype=np.int32

@@ -38,6 +38,10 @@ def _site_spec(site: str, ndim_extra: int) -> dict:
         "scales": packed_axis,
         "zeros": packed_axis,
         "smooth": smooth,
+        "codebook": P(*lead, None),  # tiny level table, replicated
+        "b": (
+            P(*lead, "model") if site not in ("o_proj", "down_proj") else P(*lead, None)
+        ),
     }
 
 

@@ -124,3 +124,22 @@ def test_default_config_complete():
     for m in ("awq", "gptq", "pot", "apot", "smoothquant"):
         assert m in cfg["quantization_config"]
         assert "w_bit" in cfg["quantization_config"][m]
+
+
+def test_serving_benchmark_phase():
+    """The serving-throughput phase records tokens/s in the results JSON."""
+    cfg = dict(TINY_BENCH_CONFIG)
+    cfg["quantization_methods"] = ["rtn"]
+    cfg["quantization_config"] = {"rtn": {"w_bit": 4, "q_group_size": 64}}
+    cfg["serving"] = {
+        "benchmark": True,
+        "pack_method": "rtn",
+        "max_batch_size": 2,
+        "kv_cache_dtype": "int8",
+    }
+    bench = QuantizationBenchmark(cfg)
+    bench.run_all_benchmarks()
+    sv = bench.results["serving"]
+    assert sv.is_success(), sv.error
+    assert sv.tokens_per_second is not None and sv.tokens_per_second > 0
+    assert "tokens_per_second" in sv.to_dict()

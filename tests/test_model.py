@@ -110,3 +110,41 @@ def test_packed_awq_and_smoothquant(setup):
         packed, qmeta = pack_model(params, method, mcfg, stats)
         logits = forward(packed, batches[0], cfg, qmeta=qmeta)
         assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_packed_pot_matches_fake_quant(setup):
+    """Codebook-packed POT must reproduce the fake-quant path exactly
+    (same scale search, same log2 rounding; only bf16 scale storage
+    differs)."""
+    cfg, params, batches, stats = setup
+    mcfg = {"w_bit": 4, "q_group_size": 64, "grid_step": 0.05}
+    fq = quantize_model(params, "pot", mcfg)
+    packed, qmeta = pack_model(params, "pot", mcfg)
+    lg_fq = forward(fq, batches[0], cfg)
+    lg_pk = forward(packed, batches[0], cfg, qmeta=qmeta)
+    assert float(jnp.abs(lg_pk - lg_fq).mean()) < 0.02
+
+
+def test_packed_apot_reasonable(setup):
+    """Packed APOT (16-level codebook cap for 4-bit indices) stays within
+    the fake-quant path's error scale vs fp."""
+    cfg, params, batches, stats = setup
+    mcfg = {"w_bit": 4, "q_group_size": 64, "k": 2, "grid_step": 0.05}
+    base = forward(params, batches[0], cfg)
+    packed, qmeta = pack_model(params, "apot", mcfg)
+    fq = quantize_model(params, "apot", mcfg)
+    err_pk = float(jnp.abs(forward(packed, batches[0], cfg, qmeta=qmeta) - base).mean())
+    err_fq = float(jnp.abs(forward(fq, batches[0], cfg) - base).mean())
+    assert err_pk < 3 * err_fq + 0.05
+
+
+def test_packed_gptq_matches_fake_quant(setup):
+    """Integer-exported full GPTQ must reproduce the fake-quant GPTQ path
+    (same codes, same frozen group scales; bf16 scale storage only)."""
+    cfg, params, batches, stats = setup
+    mcfg = {"w_bit": 4, "q_group_size": 64, "error_compensation": True, "blocksize": 64}
+    fq = quantize_model(params, "gptq", mcfg, stats)
+    packed, qmeta = pack_model(params, "gptq", mcfg, stats)
+    lg_fq = forward(fq, batches[0], cfg)
+    lg_pk = forward(packed, batches[0], cfg, qmeta=qmeta)
+    assert float(jnp.abs(lg_pk - lg_fq).mean()) < 0.01
