@@ -20,4 +20,8 @@ def get_arch(name: str):
         from qtpu.models import gpt2
 
         return gpt2
+    if name == "opt":
+        from qtpu.models import opt
+
+        return opt
     raise KeyError(f"unknown arch '{name}'")

@@ -68,6 +68,20 @@ LLAMA2_7B = ModelConfig(
     max_seq_len=4096,
 )
 
+OPT_125M = ModelConfig(
+    arch="opt",
+    vocab_size=50272,
+    hidden_size=768,
+    intermediate_size=3072,
+    num_layers=12,
+    num_heads=12,
+    num_kv_heads=12,
+    head_dim=64,
+    norm_eps=1e-5,
+    max_seq_len=2048,
+    tie_embeddings=True,
+)
+
 GPT2_SMALL = ModelConfig(
     arch="gpt2",
     vocab_size=50257,
@@ -79,6 +93,19 @@ GPT2_SMALL = ModelConfig(
     head_dim=64,
     norm_eps=1e-5,
     max_seq_len=1024,
+    tie_embeddings=True,
+)
+
+TINY_OPT_TEST = ModelConfig(
+    arch="opt",
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=512,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=4,
+    head_dim=64,
+    max_seq_len=512,
     tie_embeddings=True,
 )
 
@@ -115,8 +142,11 @@ PRESET_MODELS = {
     "llama2-7b": LLAMA2_7B,
     "gpt2": GPT2_SMALL,
     "gpt2-random": GPT2_SMALL,
+    "opt-125m": OPT_125M,
+    "facebook/opt-125m": OPT_125M,
     "tiny-test": TINY_TEST,
     "tiny-gpt2-test": TINY_GPT2_TEST,
+    "tiny-opt-test": TINY_OPT_TEST,
 }
 
 

@@ -129,7 +129,12 @@ def quantize_model(
         do_search = bool(mcfg.get("search_scale", False))
 
         def fn(site, w, has_l):
-            imp = stats.importance(_input_site_of(site, arch_mod))
+            try:
+                imp = stats.importance(_input_site_of(site, arch_mod))
+            except KeyError:
+                # layer not in calibration data → skip, keep fp weights
+                # (reference awq_quantizer.py:52-54)
+                return {"w": w}
 
             def one(w_kn, imp_l):
                 w_oi = w_kn.T
@@ -155,7 +160,20 @@ def quantize_model(
         nsamples = int(mcfg.get("nsamples", 128))
 
         def fn(site, w, has_l):
-            in_site = _input_site_of(site, arch_mod)
+            try:
+                in_site = _input_site_of(site, arch_mod)
+                have = in_site in stats.mean_abs or (
+                    stats.hessian is not None and in_site in stats.hessian
+                )
+            except KeyError:
+                have = False
+            if not have:
+                # missing calibration stats → simple symmetric per-group RTN
+                # (reference _simple_quantize_layer, gptq_quantizer.py:60-62)
+                from qtpu.quant.rtn import symmetric_fake_quantize
+
+                q = _vt(symmetric_fake_quantize, w, has_l, n_bit=w_bit, q_group_size=g)
+                return {"w": q}
             if not comp:
                 # parity mode: order-independent per-column symmetric quant
                 def one(w_kn):
@@ -199,7 +217,14 @@ def quantize_model(
         do_search = bool(mcfg.get("search_alpha", False))
 
         def fn(site, w, has_l):
-            amax = stats.max_abs[_input_site_of(site, arch_mod)]
+            try:
+                amax = stats.max_abs[_input_site_of(site, arch_mod)]
+            except KeyError:
+                # no act scales → RTN without smoothing (the reference
+                # still pseudo-quantizes every Linear,
+                # smooth_quant_quantizer.py:307-320)
+                q = _vt(pseudo_quantize, w, has_l, n_bit=w_bit, q_group_size=g)
+                return {"w": q}
 
             def one(w_kn, amax_l):
                 w_oi = w_kn.T

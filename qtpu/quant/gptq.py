@@ -128,8 +128,21 @@ def gptq_quantize_layer(
     # compensation for column j uses row j of U restricted to j:.
     L = jnp.linalg.cholesky(Hd)
     Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(C, dtype=jnp.float32))
+    # pinv fallback when H is numerically non-SPD (the reference's
+    # inv→pinv fallback, gptq_quantizer.py:161-165), branch-selected so the
+    # expensive pinv only runs when Cholesky failed
+    bad = jnp.any(jnp.isnan(Hinv))
+    Hinv = jax.lax.cond(
+        bad,
+        lambda: jnp.linalg.pinv(Hd),
+        lambda: Hinv,
+    )
     # upper Cholesky factor of Hinv (Hinv = UᵀU); its rows drive the updates
     U = jnp.linalg.cholesky(Hinv).T
+    # if even that fails (pinv of singular H is PSD, chol may NaN), fall
+    # back to no-compensation updates (identity factor ⇒ plain RTN per
+    # group) rather than emitting NaN weights
+    U = jnp.where(jnp.isnan(U), jnp.eye(C, dtype=jnp.float32), U)
 
     g = q_group_size if q_group_size > 0 else C
     B = min(blocksize, g)  # align compensation blocks to scale groups

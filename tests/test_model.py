@@ -148,3 +148,29 @@ def test_packed_gptq_matches_fake_quant(setup):
     lg_fq = forward(fq, batches[0], cfg)
     lg_pk = forward(packed, batches[0], cfg, qmeta=qmeta)
     assert float(jnp.abs(lg_pk - lg_fq).mean()) < 0.01
+
+
+def test_packed_awq_matches_fake_quant(setup):
+    """Folding AWQ's protection scales into the input smooth vector is
+    algebraically identical to the fake-quant path:
+    (x·v⁻¹) @ Q(v∘W) == x @ (Q(v∘W)/v)."""
+    cfg, params, batches, stats = setup
+    mcfg = {"w_bit": 4, "q_group_size": 64, "protect_ratio": 0.01, "scale_factor": 2.0}
+    fq = quantize_model(params, "awq", mcfg, stats)
+    packed, qmeta = pack_model(params, "awq", mcfg, stats)
+    lg_fq = forward(fq, batches[0], cfg)
+    lg_pk = forward(packed, batches[0], cfg, qmeta=qmeta)
+    base = forward(params, batches[0], cfg)
+    diff_q = float(jnp.abs(lg_pk - lg_fq).mean())
+    diff_base = float(jnp.abs(lg_fq - base).mean())
+    assert diff_q < max(0.3 * diff_base, 0.02)
+
+
+def test_packed_smoothquant_matches_fake_quant(setup):
+    cfg, params, batches, stats = setup
+    mcfg = {"w_bit": 8, "q_group_size": 64, "alpha": 0.5}
+    fq = quantize_model(params, "smoothquant", mcfg, stats)
+    packed, qmeta = pack_model(params, "smoothquant", mcfg, stats)
+    lg_fq = forward(fq, batches[0], cfg)
+    lg_pk = forward(packed, batches[0], cfg, qmeta=qmeta)
+    assert float(jnp.abs(lg_pk - lg_fq).mean()) < 0.02
