@@ -64,19 +64,22 @@ class QuantizationBenchmark:
     def setup(self):
         cfg = self.config
         self.log(f"Setting up benchmark for {cfg['model_name']}...")
-        self.model_cfg = get_model_config(cfg["model_name"])
-        self.arch = get_arch(self.model_cfg.arch)
         dtype = resolve_dtype(cfg.get("dtype", "bfloat16"))
-        # offline: random-init weights; HF import would slot in here when a
-        # local checkpoint path is configured (qtpu.models.hf_import)
         ckpt = cfg.get("checkpoint_path")
         if ckpt:
+            # local HF checkpoint: model config comes from its config.json
+            # (reference C3's from_pretrained role; no network egress here)
             from qtpu.models.hf_import import load_checkpoint
 
-            self.params, self.tokenizer = load_checkpoint(
-                ckpt, self.model_cfg, dtype
-            )
+            self.params, self.tokenizer = load_checkpoint(ckpt, None, dtype)
+            from qtpu.models.hf_import import config_from_hf
+
+            self.model_cfg = config_from_hf(ckpt)
+            self.arch = get_arch(self.model_cfg.arch)
         else:
+            self.model_cfg = get_model_config(cfg["model_name"])
+            self.arch = get_arch(self.model_cfg.arch)
+        if not ckpt:
             self.params = self.arch.init_params(
                 self.model_cfg, jax.random.PRNGKey(cfg.get("seed", 0)), dtype
             )

@@ -68,6 +68,20 @@ LLAMA2_7B = ModelConfig(
     max_seq_len=4096,
 )
 
+LLAMA2_70B = ModelConfig(
+    arch="llama",
+    vocab_size=32000,
+    hidden_size=8192,
+    intermediate_size=28672,
+    num_layers=80,
+    num_heads=64,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=10000.0,
+    norm_eps=1e-5,
+    max_seq_len=4096,
+)
+
 OPT_125M = ModelConfig(
     arch="opt",
     vocab_size=50272,
@@ -140,6 +154,7 @@ PRESET_MODELS = {
     "TinyLlama/TinyLlama_v1.1": TINYLLAMA_1_1B,
     "tinyllama-random": TINYLLAMA_1_1B,
     "llama2-7b": LLAMA2_7B,
+    "llama2-70b": LLAMA2_70B,
     "gpt2": GPT2_SMALL,
     "gpt2-random": GPT2_SMALL,
     "opt-125m": OPT_125M,

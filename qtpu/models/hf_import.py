@@ -114,12 +114,130 @@ def load_llama_params(
     return params
 
 
+def load_gpt2_params(ckpt_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
+    """HF GPT2LMHeadModel state dict → qtpu stacked pytree. GPT-2 uses
+    Conv1D, whose weights are already [in, out] — no transpose."""
+    sd = _load_state_dict(ckpt_dir)
+    L = cfg.num_layers
+
+    def get(name):
+        return np.asarray(sd[name])
+
+    def stack(fmt, transpose=False):
+        arrs = [get(fmt.format(i)) for i in range(L)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return jnp.asarray(np.stack(arrs), dtype)
+
+    pre = "h.{}." if "h.0.ln_1.weight" in sd else "transformer.h.{}."
+    top = "" if "wte.weight" in sd else "transformer."
+    embed = jnp.asarray(get(top + "wte.weight"), dtype)
+    params = {
+        "embed": embed,
+        "pos_embed": jnp.asarray(get(top + "wpe.weight"), dtype),
+        "layers": {
+            "ln1_w": stack(pre + "ln_1.weight"),
+            "ln1_b": stack(pre + "ln_1.bias"),
+            "ln2_w": stack(pre + "ln_2.weight"),
+            "ln2_b": stack(pre + "ln_2.bias"),
+            "c_attn": {
+                "w": stack(pre + "attn.c_attn.weight"),
+                "b": stack(pre + "attn.c_attn.bias"),
+            },
+            "attn_out": {
+                "w": stack(pre + "attn.c_proj.weight"),
+                "b": stack(pre + "attn.c_proj.bias"),
+            },
+            "mlp_fc": {
+                "w": stack(pre + "mlp.c_fc.weight"),
+                "b": stack(pre + "mlp.c_fc.bias"),
+            },
+            "mlp_proj": {
+                "w": stack(pre + "mlp.c_proj.weight"),
+                "b": stack(pre + "mlp.c_proj.bias"),
+            },
+        },
+        "final_norm_w": jnp.asarray(get(top + "ln_f.weight"), dtype),
+        "final_norm_b": jnp.asarray(get(top + "ln_f.bias"), dtype),
+        "lm_head": {"w": embed.T},
+    }
+    return params
+
+
+def load_opt_params(ckpt_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
+    """HF OPTForCausalLM state dict → qtpu stacked pytree (linears
+    transposed [out,in]→[in,out])."""
+    sd = _load_state_dict(ckpt_dir)
+    L = cfg.num_layers
+
+    def get(name):
+        return np.asarray(sd[name])
+
+    pre = (
+        "model.decoder.layers.{}."
+        if "model.decoder.layers.0.self_attn.q_proj.weight" in sd
+        else "decoder.layers.{}."
+    )
+    top = "model.decoder." if "model.decoder.embed_tokens.weight" in sd else "decoder."
+
+    def stack_T(fmt):
+        return jnp.asarray(np.stack([get(fmt.format(i)).T for i in range(L)]), dtype)
+
+    def stack(fmt):
+        return jnp.asarray(np.stack([get(fmt.format(i)) for i in range(L)]), dtype)
+
+    embed = jnp.asarray(get(top + "embed_tokens.weight"), dtype)
+    params = {
+        "embed": embed,
+        "pos_embed": jnp.asarray(get(top + "embed_positions.weight"), dtype),
+        "layers": {
+            "ln1_w": stack(pre + "self_attn_layer_norm.weight"),
+            "ln1_b": stack(pre + "self_attn_layer_norm.bias"),
+            "ln2_w": stack(pre + "final_layer_norm.weight"),
+            "ln2_b": stack(pre + "final_layer_norm.bias"),
+            "q_proj": {
+                "w": stack_T(pre + "self_attn.q_proj.weight"),
+                "b": stack(pre + "self_attn.q_proj.bias"),
+            },
+            "k_proj": {
+                "w": stack_T(pre + "self_attn.k_proj.weight"),
+                "b": stack(pre + "self_attn.k_proj.bias"),
+            },
+            "v_proj": {
+                "w": stack_T(pre + "self_attn.v_proj.weight"),
+                "b": stack(pre + "self_attn.v_proj.bias"),
+            },
+            "out_proj": {
+                "w": stack_T(pre + "self_attn.out_proj.weight"),
+                "b": stack(pre + "self_attn.out_proj.bias"),
+            },
+            "fc1": {
+                "w": stack_T(pre + "fc1.weight"),
+                "b": stack(pre + "fc1.bias"),
+            },
+            "fc2": {
+                "w": stack_T(pre + "fc2.weight"),
+                "b": stack(pre + "fc2.bias"),
+            },
+        },
+        "final_norm_w": jnp.asarray(get(top + "final_layer_norm.weight"), dtype),
+        "final_norm_b": jnp.asarray(get(top + "final_layer_norm.bias"), dtype),
+        "lm_head": {"w": embed.T},
+    }
+    return params
+
+
 def load_checkpoint(ckpt_dir: str, cfg: ModelConfig | None = None, dtype=jnp.bfloat16):
     """(params, tokenizer) from a local checkpoint directory. Tokenizer is
     loaded with transformers if tokenizer files are present, else None."""
     if cfg is None:
         cfg = config_from_hf(ckpt_dir)
-    params = load_llama_params(ckpt_dir, cfg, dtype)
+    loader = {
+        "llama": load_llama_params,
+        "gpt2": load_gpt2_params,
+        "opt": load_opt_params,
+    }[cfg.arch]
+    params = loader(ckpt_dir, cfg, dtype)
     tokenizer = None
     if os.path.exists(os.path.join(ckpt_dir, "tokenizer_config.json")) or os.path.exists(
         os.path.join(ckpt_dir, "tokenizer.model")
