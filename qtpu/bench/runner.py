@@ -315,6 +315,13 @@ class QuantizationBenchmark:
             self.benchmark_method(method)
         if self.config.get("serving", {}).get("benchmark", False):
             self.benchmark_serving()
+        art = self.config.get("save_artifacts")
+        if art:
+            try:
+                self.save_artifacts(art["dir"], art.get("method", "rtn"))
+            except Exception as e:
+                traceback.print_exc()
+                self.log(f"✗ artifact save failed: {e}")
         self.print_summary()
 
     # ---------------------------------------------------------- reporting
@@ -344,10 +351,41 @@ class QuantizationBenchmark:
                     )
         self.log("=" * 100 + "\n")
 
+    def save_artifacts(self, out_dir: str, method: str):
+        """Persist the packed artifact of one method (qtpu.ckpt) so
+        calibration decouples from serving. Configured via
+        config["save_artifacts"] = {"dir": ..., "method": ...}."""
+        from qtpu.ckpt import save_quantized
+        from qtpu.quant.apply import pack_model
+
+        mcfg = self.config["quantization_config"][method]
+        needs_stats = method in ("awq", "smoothquant", "gptq")
+        if needs_stats:
+            self._prepare_activations(need_hessian=False)
+        packed, qmeta = pack_model(
+            self.params,
+            method,
+            mcfg,
+            self.stats if needs_stats else None,
+            arch=self.model_cfg.arch,
+        )
+        save_quantized(
+            out_dir,
+            packed,
+            qmeta,
+            {"method": method, "model": self.config["model_name"], **mcfg},
+        )
+        self.log(f"Packed {method} artifact saved to {out_dir}")
+
     def save_results(self, output_path: str = "benchmark_results.json"):
         results_dict = {
             "timestamp": datetime.now().isoformat(),
             "config": self.config,
+            "environment": {
+                "backend": jax.default_backend(),
+                "devices": [str(d) for d in jax.devices()],
+                "jax_version": jax.__version__,
+            },
             "results": {k: v.to_dict() for k, v in self.results.items()},
         }
         with open(output_path, "w") as f:

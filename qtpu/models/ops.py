@@ -72,6 +72,10 @@ def linear(x: jnp.ndarray, p: dict, site_meta=None) -> jnp.ndarray:
         from qtpu.kernels.dequant_matmul import codebook_matmul
 
         y = codebook_matmul(x, p["data"], p["scales"], p["codebook"], site_meta)
+    elif site_meta is not None and len(site_meta) == 5 and site_meta[4] == "a8":
+        from qtpu.kernels.int8_matmul import w8a8_matmul
+
+        y = w8a8_matmul(x, p["data"], p["scales"], p["zeros"], site_meta[:4])
     else:
         y = quantized_matmul(
             x, p["data"], p["scales"], p.get("zeros"), site_meta

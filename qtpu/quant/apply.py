@@ -317,6 +317,31 @@ def pack_model(
                 w_eff, smooth = jax.vmap(sm)(w, amax)
             else:
                 w_eff, smooth = sm(w, amax)
+
+            if mcfg.get("act_quant", False):
+                # true W8A8: per-CHANNEL int8 weights (one group spanning
+                # K) + dynamic per-token int8 activations at serve time —
+                # beyond the reference, whose SmoothQuant never quantizes
+                # activations (smooth_quant_quantizer.py:307-323)
+                if w_bit != 8:
+                    raise ValueError("act_quant requires w_bit=8")
+                K = w.shape[-2]
+
+                def pack_pc(w_kn, smooth_k):
+                    qt = quantize_pack(w_kn, 8, K, symmetric=False)
+                    return {
+                        "data": qt.data,
+                        "scales": qt.scales,
+                        "zeros": qt.zeros,
+                        "smooth": smooth_k,
+                    }
+
+                if has_l:
+                    p = jax.vmap(pack_pc)(w_eff, smooth)
+                else:
+                    p = pack_pc(w_eff, smooth)
+                metas[site] = (8, K, K, w.shape[-1], "a8")
+                return p
         elif method in ("pot", "apot"):
             if w_bit != 4:
                 raise ValueError("codebook packing supports w_bit=4 only")

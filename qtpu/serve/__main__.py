@@ -28,6 +28,7 @@ def main(argv=None) -> int:
     ap.add_argument("--w-bit", type=int, default=4)
     ap.add_argument("--group", type=int, default=64)
     ap.add_argument("--kv", default="bfloat16", choices=["bfloat16", "int8"])
+    ap.add_argument("--a8", action="store_true", help="W8A8: dynamic int8 activations (smoothquant only)")
     ap.add_argument("--requests", type=int, default=4)
     ap.add_argument("--tokens", type=int, default=16)
     ap.add_argument("--batch", type=int, default=4)
@@ -56,13 +57,10 @@ def main(argv=None) -> int:
                 for i in range(4)
             ]
             stats = collect_calibration_stats(arch.forward, params, batches, cfg)
-        params, qmeta = pack_model(
-            params,
-            args.method,
-            {"w_bit": args.w_bit, "q_group_size": args.group},
-            stats,
-            arch=cfg.arch,
-        )
+        mcfg = {"w_bit": args.w_bit, "q_group_size": args.group}
+        if args.a8:
+            mcfg.update({"act_quant": True, "w_bit": 8})
+        params, qmeta = pack_model(params, args.method, mcfg, stats, arch=cfg.arch)
         print(f"packed model with {args.method} W{args.w_bit} g{args.group}")
 
     eng = ContinuousBatcher(

@@ -143,3 +143,42 @@ def test_serving_benchmark_phase():
     assert sv.is_success(), sv.error
     assert sv.tokens_per_second is not None and sv.tokens_per_second > 0
     assert "tokens_per_second" in sv.to_dict()
+
+
+def test_save_artifacts_flow(tmp_path):
+    """Benchmark → packed artifact → reload → serve: the calibrate-once
+    serve-many lifecycle (SURVEY §5.4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qtpu.ckpt import load_quantized
+    from qtpu.models import get_model_config
+    from qtpu.models.llama import forward
+
+    cfg = dict(TINY_BENCH_CONFIG)
+    cfg["quantization_methods"] = ["awq"]
+    cfg["quantization_config"] = {
+        "awq": {"w_bit": 4, "q_group_size": 64, "protect_ratio": 0.01, "scale_factor": 2.0}
+    }
+    cfg["save_artifacts"] = {"dir": str(tmp_path / "art"), "method": "awq"}
+    bench = QuantizationBenchmark(cfg)
+    bench.run_all_benchmarks()
+    params, qmeta, meta = load_quantized(tmp_path / "art")
+    assert meta["method"] == "awq"
+    mc = get_model_config("tiny-test")
+    ids = jax.random.randint(jax.random.PRNGKey(0), (1, 32), 0, mc.vocab_size)
+    logits = forward(params, ids, mc, qmeta=qmeta)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_results_record_environment(tmp_path):
+    cfg = dict(TINY_BENCH_CONFIG)
+    cfg["quantization_methods"] = ["rtn"]
+    cfg["quantization_config"] = {"rtn": {"w_bit": 8, "q_group_size": 64}}
+    bench = QuantizationBenchmark(cfg)
+    bench.run_all_benchmarks()
+    out = tmp_path / "r.json"
+    bench.save_results(str(out))
+    rec = json.loads(out.read_text())
+    assert rec["environment"]["backend"] in ("cpu", "tpu")
+    assert rec["environment"]["jax_version"]

@@ -174,3 +174,33 @@ def test_packed_smoothquant_matches_fake_quant(setup):
     lg_fq = forward(fq, batches[0], cfg)
     lg_pk = forward(packed, batches[0], cfg, qmeta=qmeta)
     assert float(jnp.abs(lg_pk - lg_fq).mean()) < 0.02
+
+
+def test_w8a8_smoothquant_serving(setup):
+    """True W8A8 (dynamic per-token int8 activations + per-channel int8
+    weights on the int8 MXU path) — beyond the reference, which never
+    quantizes activations."""
+    from qtpu.core.packing import quantize_pack
+    from qtpu.kernels.int8_matmul import w8a8_matmul
+
+    cfg, params, batches, stats = setup
+    # unit: int8 matmul close to fp
+    K, N = 256, 128
+    w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, K), jnp.float32)
+    qt = quantize_pack(w, 8, K)
+    y = w8a8_matmul(x, qt.data, qt.scales, qt.zeros, (8, K, K, N))
+    assert float(jnp.abs(y - x @ w).max() / jnp.abs(x @ w).max()) < 0.03
+
+    base = forward(params, batches[0], cfg)
+    packed, qmeta = pack_model(
+        params,
+        "smoothquant",
+        {"w_bit": 8, "q_group_size": 128, "alpha": 0.5, "act_quant": True},
+        stats,
+    )
+    lg = forward(packed, batches[0], cfg, qmeta=qmeta)
+    rel = float(jnp.abs(lg - base).mean() / jnp.abs(base).mean())
+    assert rel < 0.1
+    # really int8-per-channel stored
+    assert packed["layers"]["q_proj"]["data"].dtype == jnp.int8
