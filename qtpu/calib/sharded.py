@@ -55,23 +55,40 @@ def collect_calibration_stats_sharded(
         _, stats = forward_fn(params, row[None], cfg, capture=capture)
         return stats
 
-    batched = jax.vmap(one_row, in_axes=(None, 0))
+    batched = jax.jit(jax.vmap(one_row, in_axes=(None, 0)))
 
-    with jax.sharding.set_mesh(mesh):
-        ids_sh = jax.device_put(
-            jnp.asarray(ids), NamedSharding(mesh, P("data", None))
-        )
-        stats = jax.jit(batched)(params, ids_sh)
-
-    mean_abs = {}
+    # one dp-row pass at a time: per-row Hessians are [dp, L, C, C] live at
+    # once — chunking keeps peak memory flat regardless of n_batches
+    mean_parts = {}
     max_run = {}
     hess_run = {} if collect_hessian else None
-    for site, st in stats.items():
-        m = st["mean_abs"][:n]  # drop padding rows
-        mean_abs[site] = m
-        max_run[site] = jnp.max(st["max_abs"][:n], axis=0)
-        if collect_hessian:
-            hess_run[site] = jnp.sum(st["hessian"][:n], axis=0)
+    with jax.sharding.set_mesh(mesh):
+        for lo in range(0, ids.shape[0], dp):
+            chunk = jax.device_put(
+                jnp.asarray(ids[lo : lo + dp]),
+                NamedSharding(mesh, P("data", None)),
+            )
+            stats = batched(params, chunk)
+            for site, st in stats.items():
+                mean_parts.setdefault(site, []).append(st["mean_abs"])
+                mx = jnp.max(st["max_abs"], axis=0)
+                max_run[site] = (
+                    mx if site not in max_run else jnp.maximum(max_run[site], mx)
+                )
+                if collect_hessian:
+                    h = jnp.sum(st["hessian"], axis=0)
+                    hess_run[site] = (
+                        h if site not in hess_run else hess_run[site] + h
+                    )
+    mean_abs = {
+        s: jnp.concatenate(v, axis=0)[:n] for s, v in mean_parts.items()
+    }
+    # padding rows duplicate the last real row; their max can't exceed the
+    # real max, and their Hessian contribution must be removed
+    if pad and collect_hessian:
+        _, last_stats = forward_fn(params, jnp.asarray(ids[-1:][0][None]), cfg, capture=capture)
+        for site in hess_run:
+            hess_run[site] = hess_run[site] - pad * last_stats[site]["hessian"]
     return CalibStats(
         mean_abs=mean_abs, max_abs=max_run, hessian=hess_run, n_batches=n
     )

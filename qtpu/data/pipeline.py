@@ -37,8 +37,19 @@ def get_calibration_dataset(
         dataset = load_dataset(dataset_name, split=split)
     else:
         dataset = load_dataset(dataset_name, dataset_config, split=split)
-    dataset = dataset.shuffle(seed=seed)
+    return prepare_calibration_samples(
+        dataset, tokenizer, n_samples, block_size, seed
+    )
 
+
+def prepare_calibration_samples(
+    dataset, tokenizer, n_samples: int, block_size: int, seed: int = 42
+) -> list[np.ndarray]:
+    """Reference C4 preprocessing on an in-memory dataset
+    (quantization_utils.py:132-164): seed shuffle, strip, drop blanks and
+    rows tokenizing longer than block_size, stop at n_samples, concat along
+    the sequence dim, floor-split into fixed blocks."""
+    dataset = dataset.shuffle(seed=seed)
     samples = []
     n_run = 0
     for data in dataset:

@@ -57,15 +57,21 @@ def full_apot_codebook(n_bit: int, k: int, max_levels: int = 32) -> np.ndarray:
 
 
 def _nearest_level(x: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:
-    """Map each element of x to its nearest codebook level (levels sorted
-    ascending). Ties go to the lower index (torch.argmin parity)."""
-    idx = jnp.searchsorted(levels, x)  # levels[idx-1] < x <= levels[idx]
-    lo = jnp.clip(idx - 1, 0, levels.size - 1)
-    hi = jnp.clip(idx, 0, levels.size - 1)
-    lv_lo = levels[lo]
-    lv_hi = levels[hi]
-    pick_lo = jnp.abs(x - lv_lo) <= jnp.abs(x - lv_hi)
-    return jnp.where(pick_lo, lv_lo, lv_hi)
+    """Map each element of x to its nearest codebook level. Ties go to the
+    lower index (torch.argmin first-occurrence parity).
+
+    Branchless running-min over the ≤32 levels: a static unroll of
+    compare/select ops. (searchsorted/gather formulations lower poorly on
+    this TPU backend — a [2048×5632] searchsorted hung the chip.)"""
+    n = levels.shape[0]
+    best_d = jnp.abs(x - levels[0])
+    best_v = jnp.full_like(x, levels[0])
+    for i in range(1, n):
+        d = jnp.abs(x - levels[i])
+        take = d < best_d  # strict: earlier (lower) level wins ties
+        best_d = jnp.where(take, d, best_d)
+        best_v = jnp.where(take, levels[i], best_v)
+    return best_v
 
 
 @partial(jax.jit, static_argnames=("n_bit", "q_group_size", "k", "grid"))
@@ -112,11 +118,16 @@ def apot_quantize_tensor(
 
 
 def _nearest_index(x: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:
-    idx = jnp.searchsorted(levels, x)
-    lo = jnp.clip(idx - 1, 0, levels.size - 1)
-    hi = jnp.clip(idx, 0, levels.size - 1)
-    pick_lo = jnp.abs(x - levels[lo]) <= jnp.abs(x - levels[hi])
-    return jnp.where(pick_lo, lo, hi)
+    """Index form of _nearest_level (same branchless running-min)."""
+    n = levels.shape[0]
+    best_d = jnp.abs(x - levels[0])
+    best_i = jnp.zeros(x.shape, jnp.int32)
+    for i in range(1, n):
+        d = jnp.abs(x - levels[i])
+        take = d < best_d
+        best_d = jnp.where(take, d, best_d)
+        best_i = jnp.where(take, i, best_i)
+    return best_i
 
 
 @partial(jax.jit, static_argnames=("n_bit", "group_size", "k", "grid"))

@@ -191,6 +191,28 @@ def quantize_model(
                 else:
                     H_all = build_proxy_hessian(mv)
 
+            if has_l and not actorder:
+                # batched factorization (branch-free, vmappable), then vmap
+                # the column sweep over layers so the sequential per-column
+                # loop advances all L layers in lockstep — ~L× fewer
+                # device steps than mapping layers
+                from qtpu.quant.gptq import gptq_column_sweep, gptq_prepare_factor
+
+                U_all = jax.vmap(
+                    lambda H: gptq_prepare_factor(H, damp)
+                )(H_all)
+                q = jax.vmap(
+                    lambda w_kn, U: gptq_column_sweep(
+                        w_kn.T.astype(jnp.float32),
+                        U,
+                        w_bit,
+                        g,
+                        blocksize,
+                        orig_dtype=w.dtype,
+                    ).T
+                )(w, U_all)
+                return {"w": q}
+
             def one(w_kn, H):
                 return gptq_quantize_layer(
                     w_kn.T,

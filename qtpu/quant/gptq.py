@@ -111,39 +111,85 @@ def gptq_quantize_layer(
             "packed export with actorder would scatter groups (g_idx); off"
         )
 
-    H = H.astype(jnp.float32)
-    # damping relative to mean diagonal (standard GPTQ practice)
-    damp = perp_damp * jnp.mean(jnp.diag(H))
-    Hd = H + (damp + 1e-8) * jnp.eye(C, dtype=jnp.float32)
+    U = gptq_prepare_factor(H, perp_damp)
+    return _finish_layer(
+        Wf,
+        U,
+        H,
+        n_bit,
+        q_group_size,
+        blocksize,
+        actorder,
+        return_ints,
+        orig_dtype,
+        perp_damp,
+    )
 
+
+def gptq_prepare_factor(H: jnp.ndarray, perp_damp: float = 0.01) -> jnp.ndarray:
+    """Damped-Hessian → upper Cholesky factor U of H⁻¹ (Hinv = UᵀU).
+
+    Computed WITHOUT forming H⁻¹: reverse-order Cholesky H = PPᵀ (P upper,
+    via chol of the index-flipped matrix) then U = P⁻¹ by one triangular
+    solve — the same unique factor as chol_upper(H⁻¹) at ~2.5× fewer flops
+    than chol → cho_solve → chol, and with no data-dependent branch, so it
+    vmaps over a stacked layer axis (TPU linalg is the dominant GPTQ cost;
+    the reference's inv→pinv fallback, gptq_quantizer.py:161-165, becomes a
+    stronger-damping retry + identity last resort, both branch-free)."""
+    C = H.shape[0]
+    H = H.astype(jnp.float32)
+    mean_diag = jnp.mean(jnp.diag(H))
+    eye = jnp.eye(C, dtype=jnp.float32)
+    damp = perp_damp * mean_diag
+
+    def rev_chol_upper(A):
+        # P upper with P Pᵀ = A:  chol(J A J) flipped back
+        Lr = jnp.linalg.cholesky(A[::-1, ::-1])
+        return Lr[::-1, ::-1]
+
+    P = rev_chol_upper(H + (damp + 1e-8) * eye)
+    # branch-free fallback: H is PSD (Σxxᵀ), so strong damping always
+    # factors; select per-layer where the light damping failed numerically
+    P_safe = rev_chol_upper(H + (mean_diag + 1.0) * eye)
+    P = jnp.where(jnp.any(jnp.isnan(P)), P_safe, P)
+    U = jax.scipy.linalg.solve_triangular(P, eye, lower=False)
+    return jnp.where(jnp.isnan(U), eye, U)
+
+
+def _finish_layer(
+    Wf, U, H, n_bit, q_group_size, blocksize, actorder, return_ints, orig_dtype, perp_damp
+):
+    C = Wf.shape[1]
     if actorder:
-        perm = jnp.argsort(-jnp.diag(Hd))
+        # order columns by Hessian diagonal (gptq_quantizer.py:153-157);
+        # the factor must be recomputed for the permuted Hessian
+        perm = jnp.argsort(-jnp.diag(H.astype(jnp.float32)))
         inv_perm = jnp.argsort(perm)
         Wf = Wf[:, perm]
-        Hd = Hd[perm][:, perm]
+        U = gptq_prepare_factor(H[perm][:, perm], perp_damp)
     else:
         inv_perm = None
 
-    # Hinv via Cholesky: GPTQ uses U = chol(inv(H), upper); then the
-    # compensation for column j uses row j of U restricted to j:.
-    L = jnp.linalg.cholesky(Hd)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(C, dtype=jnp.float32))
-    # pinv fallback when H is numerically non-SPD (the reference's
-    # inv→pinv fallback, gptq_quantizer.py:161-165), branch-selected so the
-    # expensive pinv only runs when Cholesky failed
-    bad = jnp.any(jnp.isnan(Hinv))
-    Hinv = jax.lax.cond(
-        bad,
-        lambda: jnp.linalg.pinv(Hd),
-        lambda: Hinv,
+    return gptq_column_sweep(
+        Wf, U, n_bit, q_group_size, blocksize, return_ints, orig_dtype, inv_perm
     )
-    # upper Cholesky factor of Hinv (Hinv = UᵀU); its rows drive the updates
-    U = jnp.linalg.cholesky(Hinv).T
-    # if even that fails (pinv of singular H is PSD, chol may NaN), fall
-    # back to no-compensation updates (identity factor ⇒ plain RTN per
-    # group) rather than emitting NaN weights
-    U = jnp.where(jnp.isnan(U), jnp.eye(C, dtype=jnp.float32), U)
 
+
+def gptq_column_sweep(
+    Wf,
+    U,
+    n_bit,
+    q_group_size,
+    blocksize,
+    return_ints=False,
+    orig_dtype=jnp.float32,
+    inv_perm=None,
+):
+    """The sequential error-compensated quantization sweep given a
+    precomputed factor U. Pure of lax.cond, so it vmaps cleanly over a
+    stacked layer axis (the per-column loop then advances all layers in
+    lockstep — Lx fewer sequential device steps than mapping layers)."""
+    C = Wf.shape[1]
     g = q_group_size if q_group_size > 0 else C
     B = min(blocksize, g)  # align compensation blocks to scale groups
     if C % B != 0:
