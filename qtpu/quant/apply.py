@@ -406,19 +406,19 @@ def pack_model(
                 )
 
             from qtpu.core.packing import pack_int4
+            from qtpu.quant.gptq import gptq_column_sweep, gptq_prepare_factor
 
-            def gptq_one(args):
-                w_kn, H = args
-                _, q, s_all, z_all = gptq_quantize_layer(
-                    w_kn.T,
-                    H,
+            bs = max(int(mcfg.get("blocksize", 128)), g)
+
+            def gptq_one(w_kn, U):
+                _, q, s_all, z_all = gptq_column_sweep(
+                    w_kn.T.astype(jnp.float32),
+                    U,
                     w_bit,
-                    q_group_size=g,
-                    perp_damp=damp,
-                    blocksize=max(int(mcfg.get("blocksize", 128)), g),
-                    actorder=False,
-                    error_compensation=True,
+                    g,
+                    bs,
                     return_ints=True,
+                    orig_dtype=w.dtype,
                 )
                 # [out, in] codes → qtpu layout [K=in, N=out]
                 codes = q.T.astype(jnp.uint8)
@@ -432,11 +432,11 @@ def pack_model(
                     raise ValueError("gptq packing supports w_bit in (4, 8)")
                 return {"data": data, "scales": scales, "zeros": zeros}
 
-            p = (
-                jax.lax.map(gptq_one, (w, H_all))
-                if has_l
-                else gptq_one((w, H_all))
-            )
+            if has_l:
+                U_all = jax.vmap(lambda H: gptq_prepare_factor(H, damp))(H_all)
+                p = jax.vmap(gptq_one)(w, U_all)
+            else:
+                p = gptq_one(w, gptq_prepare_factor(H_all, damp))
             metas[site] = (w_bit, g, w.shape[-2], w.shape[-1])
             return p
         else:
