@@ -43,18 +43,64 @@ def evaluate_perplexity(
     block_size: int = 2048,
     qmeta=None,
     arch: str = "llama",
+    mesh=None,
     verbose: bool = False,
 ) -> float:
-    """test_ids: [1, N] token stream. Returns scalar perplexity."""
+    """test_ids: [1, N] token stream. Returns scalar perplexity.
+
+    With a mesh, the independent eval blocks shard over the `data` axis
+    (SURVEY §5.7: embarrassingly parallel, exactly reproduces the serial
+    math since blocks are non-overlapping). Params should already carry
+    their shardings if tensor parallelism is wanted too.
+    """
+    n_avail = test_ids.shape[1] // block_size
+    n = min(n_samples, n_avail)
+    if mesh is not None:
+        return _evaluate_sharded(
+            params, test_ids, cfg, n, block_size, qmeta, arch, mesh
+        )
     nlls = []
-    for i in range(n_samples):
+    for i in range(n):
         batch = test_ids[:, i * block_size : (i + 1) * block_size]
-        if batch.shape[1] < block_size:
-            break
         loss = _block_nll(params, batch, cfg, qmeta, arch)
         nlls.append(loss * block_size)
         if verbose and (i + 1) % 8 == 0:
-            print(f"  eval block {i + 1}/{n_samples}")
+            print(f"  eval block {i + 1}/{n}")
     total = jnp.sum(jnp.stack(nlls))
     ppl = jnp.exp(total / (len(nlls) * block_size))
     return float(ppl)
+
+
+def _evaluate_sharded(params, test_ids, cfg, n, block_size, qmeta, arch, mesh):
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qtpu.models import get_arch
+
+    forward = get_arch(arch).forward
+    dp = mesh.shape["data"]
+    ids = np.asarray(test_ids)[0, : n * block_size].reshape(n, block_size)
+    pad = (-n) % dp
+    if pad:  # pad rows contribute zero via masking
+        ids = np.concatenate([ids, np.zeros((pad, block_size), ids.dtype)])
+    valid = np.arange(ids.shape[0]) < n
+
+    @partial(jax.jit, static_argnames=())
+    def all_blocks(params, blocks, valid):
+        logits = forward(params, blocks, cfg, qmeta=qmeta)
+        shift_logits = logits[:, :-1, :].astype(jnp.float32)
+        shift_labels = blocks[:, 1:]
+        logp = jax.nn.log_softmax(shift_logits, axis=-1)
+        nll_tok = -jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)
+        per_block = jnp.mean(nll_tok[..., 0], axis=-1) * block_size
+        return jnp.sum(jnp.where(valid, per_block, 0.0))
+
+    with jax.sharding.set_mesh(mesh):
+        blocks = jax.device_put(
+            jnp.asarray(ids), NamedSharding(mesh, P("data", None))
+        )
+        v = jax.device_put(
+            jnp.asarray(valid), NamedSharding(mesh, P("data"))
+        )
+        total = all_blocks(params, blocks, v)
+    return float(jnp.exp(total / (n * block_size)))

@@ -73,3 +73,22 @@ def test_data_parallel_calibration_stats(setup):
     a = np.asarray(stats1["attn_in"]["mean_abs"])
     b = np.asarray(stats8["attn_in"]["mean_abs"])
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4)
+
+
+def test_sharded_perplexity_matches_serial(setup):
+    """Block-parallel eval over the data axis == serial eval (blocks are
+    independent; SURVEY §5.7)."""
+    import numpy as np
+
+    from qtpu.eval import evaluate_perplexity
+
+    cfg, params, _ = setup
+    stream = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, 6 * 64), dtype=np.int32
+    )
+    serial = evaluate_perplexity(params, stream, cfg, n_samples=6, block_size=64)
+    mesh = make_mesh(data=4, model=2)
+    sharded = evaluate_perplexity(
+        params, stream, cfg, n_samples=6, block_size=64, mesh=mesh
+    )
+    assert abs(sharded - serial) / serial < 0.02, (sharded, serial)
