@@ -163,28 +163,52 @@ def _collect(x, capture: str):
 
 
 def _cached_attention(q, layer_kv, mask, cfg: ModelConfig):
-    """q [B,T,H,hd] against a full cache layer [B,S,KV,hd] (bf16 or int8 +
-    scales). mask [B,T,S] True=attend."""
+    """q [B,T,H,hd] against a full cache layer [B,KV,S,hd] (bf16 or int8 +
+    [B,KV,S] scales). mask [B,T,S] True=attend.
+
+    Decode (T=1, int8 cache) dispatches to the Pallas kernel on TPU, which
+    reads the int8 K/V directly (no bf16 KV materialization); other shapes
+    take the XLA path below.
+    """
     from qtpu.serve.kvcache import dequantize_kv
 
     k_c, v_c, ks_c, vs_c = layer_kv
+    B, T, H, hd = q.shape
+    KV = k_c.shape[1]
+
+    if (
+        T == 1
+        and ks_c is not None
+        and jax.default_backend() == "tpu"
+        and H % KV == 0
+    ):
+        try:
+            from qtpu.kernels.pallas_kv_attention import pallas_decode_attention
+
+            # mask[:, 0, :] encodes "key position ≤ query position"
+            pos = jnp.sum(mask[:, 0, :].astype(jnp.int32), axis=-1) - 1  # [B]
+            out = pallas_decode_attention(
+                q[:, 0], k_c, v_c, ks_c, vs_c, pos
+            )
+            return out.reshape(B, 1, H * hd)
+        except NotImplementedError:
+            pass
+
     if ks_c is not None:
         K = dequantize_kv(k_c, ks_c, q.dtype)
         V = dequantize_kv(v_c, vs_c, q.dtype)
     else:
         K, V = k_c, v_c
-    B, T, H, hd = q.shape
-    KV = K.shape[2]
     if KV != H:
         rep = H // KV
-        K = jnp.repeat(K, rep, axis=2)
-        V = jnp.repeat(V, rep, axis=2)
+        K = jnp.repeat(K, rep, axis=1)
+        V = jnp.repeat(V, rep, axis=1)
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, K, preferred_element_type=jnp.float32
+        "bqhd,bhkd->bhqk", q, K, preferred_element_type=jnp.float32
     ) / jnp.sqrt(float(hd))
     scores = jnp.where(mask[:, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, V)
+    out = jnp.einsum("bhqk,bhkd->bqhd", probs, V)
     return out.reshape(B, T, H * hd)
 
 

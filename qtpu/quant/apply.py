@@ -198,19 +198,26 @@ def quantize_model(
                 # device steps than mapping layers
                 from qtpu.quant.gptq import gptq_column_sweep, gptq_prepare_factor
 
-                U_all = jax.vmap(
-                    lambda H: gptq_prepare_factor(H, damp)
-                )(H_all)
-                q = jax.vmap(
-                    lambda w_kn, U: gptq_column_sweep(
-                        w_kn.T.astype(jnp.float32),
-                        U,
+                # chunked vmap (lax.map batch_size): layer-batched compute
+                # with bounded [chunk, C, C] temporaries — full-width vmap
+                # of the 5632² sites exhausts HBM
+                chunk = max(1, min(8, int(2e9 // (w.shape[-2] * w.shape[-1] * 4 + H_all.shape[-1] ** 2 * 12))))
+                U_all = jax.lax.map(
+                    lambda H: gptq_prepare_factor(H, damp), H_all,
+                    batch_size=chunk,
+                )
+                q = jax.lax.map(
+                    lambda args: gptq_column_sweep(
+                        args[0].T.astype(jnp.float32),
+                        args[1],
                         w_bit,
                         g,
                         blocksize,
                         orig_dtype=w.dtype,
-                    ).T
-                )(w, U_all)
+                    ).T,
+                    (w, U_all),
+                    batch_size=chunk,
+                )
                 return {"w": q}
 
             def one(w_kn, H):
@@ -433,8 +440,14 @@ def pack_model(
                 return {"data": data, "scales": scales, "zeros": zeros}
 
             if has_l:
-                U_all = jax.vmap(lambda H: gptq_prepare_factor(H, damp))(H_all)
-                p = jax.vmap(gptq_one)(w, U_all)
+                chunk = max(1, min(8, int(2e9 // (w.shape[-2] * w.shape[-1] * 4 + H_all.shape[-1] ** 2 * 12))))
+                U_all = jax.lax.map(
+                    lambda H: gptq_prepare_factor(H, damp), H_all,
+                    batch_size=chunk,
+                )
+                p = jax.lax.map(
+                    lambda args: gptq_one(*args), (w, U_all), batch_size=chunk
+                )
             else:
                 p = gptq_one(w, gptq_prepare_factor(H_all, damp))
             metas[site] = (w_bit, g, w.shape[-2], w.shape[-1])

@@ -1,14 +1,17 @@
 """KV-cache storage: bf16 or really-quantized INT8 (a serving subsystem the
 reference does not have — SURVEY §0 "no serving loop, no KV-cache").
 
-INT8 mode stores K/V as int8 with one f32 scale per (layer, batch, position,
-kv-head) — per-token-per-head symmetric absmax quantization, the standard
+INT8 mode stores K/V as int8 with one f32 scale per (layer, batch, kv-head,
+position) — per-token-per-head symmetric absmax quantization, the standard
 accuracy/compression sweet spot for KV. Memory: 8 bits + 4/hd bits per
 element vs 16 bf16 (≈2× KV capacity per HBM byte → ~2× max batch/context).
 
-Layout: k/v [L, B, S_max, KV_heads, hd]; under tensor parallelism the
-KV-head axis shards over the `model` mesh axis alongside the attention
-heads.
+Layout: k/v [L, B, KV_heads, S_max, hd] — KV-head-major so one head's whole
+sequence is a contiguous [S, hd] tile, which is what the Pallas int8
+decode-attention kernel blocks on (an S-minor layout would put the 4-wide
+KV axis in the sublane position, below the TPU tile floor). Under tensor
+parallelism the KV-head axis shards over the `model` mesh axis alongside
+the attention heads.
 """
 
 from __future__ import annotations
@@ -22,9 +25,9 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jnp.ndarray  # [L, B, S, KV, hd] bf16 or int8
+    k: jnp.ndarray  # [L, B, KV, S, hd] bf16 or int8
     v: jnp.ndarray
-    k_scale: jnp.ndarray | None  # [L, B, S, KV] f32 (int8 mode)
+    k_scale: jnp.ndarray | None  # [L, B, KV, S] f32 (int8 mode)
     v_scale: jnp.ndarray | None
     length: jnp.ndarray  # [B] int32 — tokens filled per sequence
 
@@ -41,14 +44,15 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_cache(
     cfg, batch: int, max_len: int, dtype=jnp.bfloat16, quantized: bool = False
 ) -> KVCache:
     L, KV, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
-    shape = (L, batch, max_len, KV, hd)
+    max_len = max_len + (-max_len) % 8  # sublane-aligned S for kernels
+    shape = (L, batch, KV, max_len, hd)
     if quantized:
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),
@@ -79,32 +83,34 @@ def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
 
 
 def cache_layer_write(layer_kv, new_k, new_v, start: jnp.ndarray, quantized: bool):
-    """Write [B, S_new, KV, hd] keys/values into one layer's cache slices at
-    position `start` (scalar or per-batch [B]). Returns updated layer_kv
-    tuple (k, v, k_scale, v_scale)."""
+    """Write new keys/values [B, T, KV, hd] into one layer's cache
+    ([B, KV, S, hd] layout) at per-sequence positions `start` [B] (or a
+    scalar). Returns updated (k, v, k_scale, v_scale)."""
     k_c, v_c, ks_c, vs_c = layer_kv
     if quantized:
-        qk, sk = quantize_kv(new_k)
+        qk, sk = quantize_kv(new_k)  # [B, T, KV, hd], [B, T, KV]
         qv, sv = quantize_kv(new_v)
         write_k, write_v = qk, qv
     else:
         write_k, write_v = new_k.astype(k_c.dtype), new_v.astype(v_c.dtype)
         sk = sv = None
 
-    if jnp.ndim(start) == 0:
-        k_c = jax.lax.dynamic_update_slice_in_dim(k_c, write_k, start, axis=1)
-        v_c = jax.lax.dynamic_update_slice_in_dim(v_c, write_v, start, axis=1)
-        if quantized:
-            ks_c = jax.lax.dynamic_update_slice_in_dim(ks_c, sk, start, axis=1)
-            vs_c = jax.lax.dynamic_update_slice_in_dim(vs_c, sv, start, axis=1)
-    else:
-        # per-sequence positions (continuous batching): vmap over batch
-        def wr(c, w, s):
-            return jax.lax.dynamic_update_slice_in_dim(c, w, s, axis=0)
+    # [B, T, KV, ...] → cache layout [B, KV, T, ...]
+    write_k = jnp.swapaxes(write_k, 1, 2)
+    write_v = jnp.swapaxes(write_v, 1, 2)
+    if quantized:
+        sk = jnp.swapaxes(sk, 1, 2)
+        sv = jnp.swapaxes(sv, 1, 2)
 
-        k_c = jax.vmap(wr)(k_c, write_k, start)
-        v_c = jax.vmap(wr)(v_c, write_v, start)
-        if quantized:
-            ks_c = jax.vmap(wr)(ks_c, sk, start)
-            vs_c = jax.vmap(wr)(vs_c, sv, start)
+    if jnp.ndim(start) == 0:
+        start = jnp.full((k_c.shape[0],), start, jnp.int32)
+
+    def wr(c, w, s):  # c [KV, S, ...], w [KV, T, ...]
+        return jax.lax.dynamic_update_slice_in_dim(c, w, s, axis=1)
+
+    k_c = jax.vmap(wr)(k_c, write_k, start)
+    v_c = jax.vmap(wr)(v_c, write_v, start)
+    if quantized:
+        ks_c = jax.vmap(wr)(ks_c, sk, start)
+        vs_c = jax.vmap(wr)(vs_c, sv, start)
     return k_c, v_c, ks_c, vs_c

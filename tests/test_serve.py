@@ -159,3 +159,58 @@ def test_batcher_staggered_admission(setup):
     eng.run()
     assert r1.output == list(np.asarray(exp1[0]))
     assert r2.output == list(np.asarray(exp2[0]))
+
+
+def test_pallas_decode_attention_matches_xla(setup):
+    """Interpret-mode parity of the int8-KV decode-attention kernel vs the
+    XLA dequantize-then-attend path."""
+    from qtpu.kernels import pallas_kv_attention as pk
+    from qtpu.serve.kvcache import dequantize_kv, quantize_kv
+
+    cfg, params = setup
+    B, H, KV, hd, S = 2, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, 32
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, H, hd), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, KV, S, hd))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, KV, S, hd))
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    pos = jnp.array([10, 25], jnp.int32)
+
+    # interpret-mode kernel
+    import qtpu.kernels.pallas_kv_attention as mod
+
+    out = jax.jit(
+        lambda *a: _interp_decode(mod, *a)
+    )(q, kq, vq, ks, vs, pos)
+
+    # XLA reference
+    K = dequantize_kv(kq, ks, jnp.float32)
+    V = dequantize_kv(vq, vs, jnp.float32)
+    rep = H // KV
+    Kr = jnp.repeat(K, rep, axis=1)
+    Vr = jnp.repeat(V, rep, axis=1)
+    scores = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32), Kr) / jnp.sqrt(
+        float(hd)
+    )
+    s_idx = jnp.arange(S)[None, None, :]
+    scores = jnp.where(s_idx <= pos[:, None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    expect = jnp.einsum("bhk,bhkd->bhd", p, Vr)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(expect, np.float32), rtol=5e-2, atol=5e-2
+    )
+
+
+def _interp_decode(mod, q, kq, vq, ks, vs, pos):
+    """Call the kernel with interpret=True by patching pallas_call."""
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = partial(orig, interpret=True)
+        return mod.pallas_decode_attention(q, kq, vq, ks, vs, pos)
+    finally:
+        pl.pallas_call = orig
