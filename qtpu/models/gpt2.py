@@ -13,7 +13,13 @@ import jax
 import jax.numpy as jnp
 
 from qtpu.models.config import ModelConfig
-from qtpu.models.ops import channel_stats, input_hessian, layer_norm, linear
+from qtpu.models.ops import (
+    causal_attention,
+    channel_stats,
+    input_hessian,
+    layer_norm,
+    linear,
+)
 
 LAYER_SITES = ("c_attn", "attn_out", "mlp_fc", "mlp_proj")
 INPUT_SITES = ("attn_in", "o_in", "mlp_in", "proj_in", "head_in")
@@ -84,12 +90,7 @@ def _layer_fwd(x, lp, cfg: ModelConfig, mask, capture, qmeta):
     q = q.reshape(B, S, H, hd)
     k = k.reshape(B, S, H, hd)
     v = v.reshape(B, S, H, hd)
-    scores = jnp.einsum(
-        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(float(hd))
-    scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    attn = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(B, S, D)
+    attn = causal_attention(q, k, v, mask)
     if capture != "none":
         stats["o_in"] = _collect(attn, capture)
     x = x + linear(attn, lp["attn_out"], qm("attn_out"))

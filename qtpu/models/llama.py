@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from qtpu.models.config import ModelConfig
 from qtpu.models.ops import (
     apply_rope,
+    causal_attention,
     channel_stats,
     input_hessian,
     linear,
@@ -96,23 +97,6 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
     return params
 
 
-def _attention(q, k, v, cfg: ModelConfig, mask):
-    """q [B,S,H,hd], k/v [B,S,KV,hd] → [B,S,H·hd]. GQA by head repeat."""
-    B, S, H, hd = q.shape
-    KV = k.shape[2]
-    if KV != H:
-        rep = H // KV
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-    scores = jnp.einsum(
-        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(float(hd))
-    scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhst,bthd->bshd", probs, v)
-    return out.reshape(B, S, H * hd)
-
-
 def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     """One decoder layer. Returns (x_out, stats dict or None).
 
@@ -137,7 +121,7 @@ def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     )
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn = _attention(q, k, v, cfg, mask)
+    attn = causal_attention(q, k, v, mask)
     if capture != "none":
         stats["o_in"] = _collect(attn, capture)
     x = x + linear(attn, lp["o_proj"], qm("o_proj"))

@@ -85,6 +85,42 @@ def linear(x: jnp.ndarray, p: dict, site_meta=None) -> jnp.ndarray:
     return y
 
 
+def causal_attention(q, k, v, mask):
+    """Full-sequence causal attention with GQA. q [B,S,H,hd],
+    k/v [B,S,KV,hd], mask [1|B,1,S,S] → [B,S,H·hd].
+
+    On TPU at flash-tileable sizes, dispatches to the Pallas flash
+    kernel (O(S·hd) memory, no [H,S,S] score tensor in HBM); otherwise
+    the XLA einsum path."""
+    B, S, H, hd = q.shape
+    KV = k.shape[2]
+    if KV != H:
+        rep = H // KV
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    if jax.default_backend() == "tpu" and S % 128 == 0:
+        try:
+            from qtpu.kernels.pallas_flash_attention import pallas_flash_attention
+
+            out = pallas_flash_attention(
+                jnp.swapaxes(q, 1, 2),
+                jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2),
+            )
+            return jnp.swapaxes(out, 1, 2).reshape(B, S, H * hd)
+        except NotImplementedError:
+            pass
+
+    scores = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(float(hd))
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v)
+    return out.reshape(B, S, H * hd)
+
+
 def channel_stats(x: jnp.ndarray):
     """(mean|x|, max|x|) per trailing channel — the two collectors of the
     reference (quantization_utils.py:226-236; smooth_quant_quantizer.py:54-74),

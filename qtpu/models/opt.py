@@ -11,7 +11,13 @@ import jax
 import jax.numpy as jnp
 
 from qtpu.models.config import ModelConfig
-from qtpu.models.ops import channel_stats, input_hessian, layer_norm, linear
+from qtpu.models.ops import (
+    causal_attention,
+    channel_stats,
+    input_hessian,
+    layer_norm,
+    linear,
+)
 
 LAYER_SITES = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
 INPUT_SITES = ("attn_in", "o_in", "mlp_in", "fc2_in", "head_in")
@@ -72,16 +78,6 @@ def _collect(x, capture):
     return out
 
 
-def _attention(q, k, v, cfg, mask):
-    B, S, H, hd = q.shape
-    scores = jnp.einsum(
-        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(float(hd))
-    scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhst,bthd->bshd", probs, v).reshape(B, S, H * hd)
-
-
 def _layer_fwd(x, lp, cfg: ModelConfig, mask, capture, qmeta):
     B, S, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
@@ -94,7 +90,7 @@ def _layer_fwd(x, lp, cfg: ModelConfig, mask, capture, qmeta):
     q = linear(h, lp["q_proj"], qm("q_proj")).reshape(B, S, H, hd)
     k = linear(h, lp["k_proj"], qm("k_proj")).reshape(B, S, H, hd)
     v = linear(h, lp["v_proj"], qm("v_proj")).reshape(B, S, H, hd)
-    attn = _attention(q, k, v, cfg, mask)
+    attn = causal_attention(q, k, v, mask)
     if capture != "none":
         stats["o_in"] = _collect(attn, capture)
     x = x + linear(attn, lp["out_proj"], qm("out_proj"))

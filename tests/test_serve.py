@@ -202,15 +202,40 @@ def test_pallas_decode_attention_matches_xla(setup):
     )
 
 
-def _interp_decode(mod, q, kq, vq, ks, vs, pos):
-    """Call the kernel with interpret=True by patching pallas_call."""
-    import jax.numpy as jnp
-    from functools import partial
+
+
+def test_pallas_flash_attention_matches_xla():
+    """Interpret-mode parity of the causal flash-attention kernel."""
+    import qtpu.kernels.pallas_flash_attention as mod
+
+    B, H, S, hd = 2, 4, 256, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, S, hd), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, hd), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, hd), jnp.float32)
+
+    out = _interp_decode(mod_call=lambda: mod.pallas_flash_attention(q, k, v))
+
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k) / jnp.sqrt(float(hd))
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    scores = jnp.where(causal[None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    expect = jnp.einsum("bhst,bhtd->bhsd", p, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), rtol=2e-3, atol=2e-3
+    )
+
+
+def _interp_decode(mod=None, *args, mod_call=None):
+    """Run a pallas-calling function with interpret=True patched in."""
+    from functools import partial as _partial
+
     from jax.experimental import pallas as pl
 
     orig = pl.pallas_call
     try:
-        pl.pallas_call = partial(orig, interpret=True)
-        return mod.pallas_decode_attention(q, kq, vq, ks, vs, pos)
+        pl.pallas_call = _partial(orig, interpret=True)
+        if mod_call is not None:
+            return mod_call()
+        return mod.pallas_decode_attention(*args)
     finally:
         pl.pallas_call = orig
