@@ -182,43 +182,52 @@ def quantize_model(
                 q = jax.vmap(one)(w) if has_l else one(w)
                 return {"w": q}
 
-            if stats.hessian is not None and in_site in stats.hessian:
-                H_all = stats.hessian[in_site]
-            else:
-                mv = stats.mean_abs[in_site][:nsamples]  # [S, L, C] | [S, C]
-                if has_l:
-                    H_all = jax.vmap(build_proxy_hessian, in_axes=1)(mv, )
-                else:
-                    H_all = build_proxy_hessian(mv)
+            have_true_h = stats.hessian is not None and in_site in stats.hessian
 
             if has_l and not actorder:
-                # batched factorization (branch-free, vmappable), then vmap
-                # the column sweep over layers so the sequential per-column
-                # loop advances all L layers in lockstep — ~L× fewer
-                # device steps than mapping layers
+                # fused prepare+sweep per layer chunk: the [L, C, C]
+                # factors (2.8 GB for a 5632² site) must never be fully
+                # materialized — chunked lax.map keeps one [chunk, C, C]
+                # factor (and, for the proxy path, builds H in-map from
+                # the tiny stat vectors) while still vmapping the column
+                # sweep within the chunk
                 from qtpu.quant.gptq import gptq_column_sweep, gptq_prepare_factor
 
-                # chunked vmap (lax.map batch_size): layer-batched compute
-                # with bounded [chunk, C, C] temporaries — full-width vmap
-                # of the 5632² sites exhausts HBM
-                chunk = max(1, min(8, int(2e9 // (w.shape[-2] * w.shape[-1] * 4 + H_all.shape[-1] ** 2 * 12))))
-                U_all = jax.lax.map(
-                    lambda H: gptq_prepare_factor(H, damp), H_all,
-                    batch_size=chunk,
-                )
-                q = jax.lax.map(
-                    lambda args: gptq_column_sweep(
-                        args[0].T.astype(jnp.float32),
-                        args[1],
+                K, N = w.shape[-2], w.shape[-1]
+                chunk = max(1, min(8, int(1.5e9 // (K * K * 16 + K * N * 16))))
+
+                def per_layer(args):
+                    if have_true_h:
+                        w_kn, H = args
+                    else:
+                        w_kn, v_stats = args  # v_stats [S, C]
+                        H = build_proxy_hessian(v_stats, damp)
+                    U = gptq_prepare_factor(H, damp)
+                    return gptq_column_sweep(
+                        w_kn.T.astype(jnp.float32),
+                        U,
                         w_bit,
                         g,
                         blocksize,
                         orig_dtype=w.dtype,
-                    ).T,
-                    (w, U_all),
-                    batch_size=chunk,
-                )
+                    ).T
+
+                if have_true_h:
+                    xs = (w, stats.hessian[in_site])
+                else:
+                    mv = stats.mean_abs[in_site][:nsamples]  # [S, L, C]
+                    xs = (w, jnp.swapaxes(mv, 0, 1))  # [L, S, C]
+                q = jax.lax.map(per_layer, xs, batch_size=chunk)
                 return {"w": q}
+
+            if have_true_h:
+                H_all = stats.hessian[in_site]
+            else:
+                mv = stats.mean_abs[in_site][:nsamples]  # [S, L, C] | [S, C]
+                if has_l:
+                    H_all = jax.vmap(build_proxy_hessian, in_axes=1)(mv)
+                else:
+                    H_all = build_proxy_hessian(mv)
 
             def one(w_kn, H):
                 return gptq_quantize_layer(
@@ -404,6 +413,11 @@ def pack_model(
             nsamples = int(mcfg.get("nsamples", 128))
             if stats.hessian is not None and in_site in stats.hessian:
                 H_all = stats.hessian[in_site]
+            elif has_l:
+                # keep proxy Hessians unmaterialized: stacked stat vectors
+                # [L, S, C] are tiny; H builds inside the chunked map below
+                mv = stats.mean_abs[in_site][:nsamples]
+                H_all = jnp.swapaxes(mv, 0, 1)
             else:
                 mv = stats.mean_abs[in_site][:nsamples]
                 H_all = (
@@ -440,14 +454,20 @@ def pack_model(
                 return {"data": data, "scales": scales, "zeros": zeros}
 
             if has_l:
-                chunk = max(1, min(8, int(2e9 // (w.shape[-2] * w.shape[-1] * 4 + H_all.shape[-1] ** 2 * 12))))
-                U_all = jax.lax.map(
-                    lambda H: gptq_prepare_factor(H, damp), H_all,
-                    batch_size=chunk,
+                K = w.shape[-2]
+                chunk = max(
+                    1,
+                    min(8, int(1.5e9 // (K * K * 16 + K * w.shape[-1] * 16))),
                 )
-                p = jax.lax.map(
-                    lambda args: gptq_one(*args), (w, U_all), batch_size=chunk
-                )
+                h_is_stats = H_all.shape[-2] != H_all.shape[-1]
+
+                def pack_layer(args):
+                    w_kn, h = args
+                    if h_is_stats:  # [S, C] stat vectors → proxy H in-map
+                        h = build_proxy_hessian(h, damp)
+                    return gptq_one(w_kn, gptq_prepare_factor(h, damp))
+
+                p = jax.lax.map(pack_layer, (w, H_all), batch_size=chunk)
             else:
                 p = gptq_one(w, gptq_prepare_factor(H_all, damp))
             metas[site] = (w_bit, g, w.shape[-2], w.shape[-1])

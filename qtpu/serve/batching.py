@@ -23,6 +23,7 @@ Invariants per active slot i with request r:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 import jax
@@ -41,6 +42,20 @@ class Request:
     temperature: float = 0.0
     output: list = field(default_factory=list)
     done: bool = False
+    # serving metrics (wall-clock seconds)
+    submitted_at: float = 0.0
+    first_token_at: float = 0.0
+    finished_at: float = 0.0
+
+    @property
+    def ttft(self) -> float:
+        """Time to first token."""
+        return self.first_token_at - self.submitted_at
+
+    @property
+    def tokens_per_second(self) -> float:
+        dt = self.finished_at - self.first_token_at
+        return (len(self.output) - 1) / dt if dt > 0 else float("inf")
 
 
 def _bucket(n: int) -> int:
@@ -95,6 +110,7 @@ class ContinuousBatcher:
             prompt=np.asarray(prompt_ids, np.int32).reshape(-1),
             max_new_tokens=max_new_tokens,
             temperature=temperature,
+            submitted_at=time.perf_counter(),
         )
         self._uid += 1
         self.queue.append(req)
@@ -140,6 +156,7 @@ class ContinuousBatcher:
             T = len(req.prompt)
             if T == 0 or T + req.max_new_tokens > self.max_seq_len:
                 req.done = True
+                req.finished_at = time.perf_counter()
                 self.finished.append(req)
                 continue
             Tb = min(_bucket(T), self.max_seq_len)
@@ -159,6 +176,7 @@ class ContinuousBatcher:
                 np.asarray(logits[0, T - 1]), req.temperature, self.rng
             )
             req.output.append(first)
+            req.first_token_at = time.perf_counter()
             self.slots[i] = req
 
     def step(self):
@@ -195,5 +213,21 @@ class ContinuousBatcher:
                 or total >= self.max_seq_len
             ):
                 req.done = True
+                req.finished_at = time.perf_counter()
                 self.finished.append(req)
                 self.slots[i] = None
+
+
+    def metrics(self) -> dict:
+        """Aggregate serving metrics over finished requests."""
+        done = [r for r in self.finished if r.output]
+        if not done:
+            return {"requests": 0}
+        return {
+            "requests": len(done),
+            "total_tokens": sum(len(r.output) for r in done),
+            "mean_ttft_s": float(np.mean([r.ttft for r in done])),
+            "mean_tokens_per_second": float(
+                np.mean([r.tokens_per_second for r in done if len(r.output) > 1])
+            ),
+        }
