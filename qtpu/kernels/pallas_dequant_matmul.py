@@ -27,12 +27,16 @@ K≈11k (7B-class down_proj).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# nibble-unpack strategy (see kernel body); flip via QTPU_I32_UNPACK=1
+_F32_UNPACK = os.environ.get("QTPU_I32_UNPACK", "0") != "1"
 
 
 def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
@@ -51,12 +55,21 @@ def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
         s = s_ref[c, :][None, :].astype(jnp.float32)  # [1, bn]
         if bits == 4:
             packed = d_ref[c * (group // 2) : (c + 1) * (group // 2), :]
-            # nibble extraction in i32: Mosaic has no u8 shifts (arith.shrui
-            # on i8 fails to legalize); & 0xFF undoes the int8 sign first
-            pu = packed.astype(jnp.int32) & 0xFF
-            lo = pu & 0xF
-            hi = jax.lax.shift_right_arithmetic(pu, 4) & 0xF
-            q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] in [0,15]
+            if _F32_UNPACK:
+                # f32-arithmetic unpack: one sitofp then float ops — fewer
+                # VPU ops than the i32 shift/mask chain on this backend
+                f = packed.astype(jnp.float32)
+                u = jnp.where(f < 0, f + 256.0, f)  # undo int8 sign
+                hi = jnp.floor(u * (1.0 / 16.0))
+                lo = u - 16.0 * hi
+                q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] f32
+            else:
+                # i32 unpack: Mosaic has no u8 shifts (arith.shrui on i8
+                # fails to legalize); & 0xFF undoes the int8 sign first
+                pu = packed.astype(jnp.int32) & 0xFF
+                lo = pu & 0xF
+                hi = jax.lax.shift_right_arithmetic(pu, 4) & 0xF
+                q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] in [0,15]
         else:
             q = d_ref[c * group : (c + 1) * group, :].astype(jnp.int32) + 128
         if z_ref is not None:
