@@ -49,6 +49,7 @@ class QuantizationBenchmark:
             self.config.get("verbose", True) if verbose is None else verbose
         )
         self.model_cfg = None
+        self.mesh = None
         self.params = None
         self.tokenizer = None
         self.calib_samples = None
@@ -103,7 +104,32 @@ class QuantizationBenchmark:
             block_size=cfg.get("calibration_block_size", 512),
             vocab_size=self.model_cfg.vocab_size,
         )
+        self._setup_mesh()
         self.log("Setup complete!")
+
+    def _setup_mesh(self):
+        """Build the ('data','model') mesh from config["mesh"] when more
+        than one device is requested and available; params get their TP
+        shardings, calibration and eval then run sharded."""
+        self.mesh = None
+        mcfg = self.config.get("mesh") or {}
+        dp, tp = int(mcfg.get("data", 1)), int(mcfg.get("model", 1))
+        n_dev = len(jax.devices())
+        if dp == -1:
+            dp = max(1, n_dev // max(tp, 1))
+        if dp * tp <= 1:
+            return
+        if dp * tp > n_dev:
+            self.log(
+                f"mesh {dp}x{tp} needs {dp * tp} devices, have {n_dev} — "
+                "running single-device"
+            )
+            return
+        from qtpu.sharding import make_mesh, shard_params
+
+        self.mesh = make_mesh(data=dp, model=tp)
+        self.params = shard_params(self.params, self.mesh, arch=self.model_cfg.arch)
+        self.log(f"mesh: data={dp} x model={tp}")
 
     def _prepare_activations(self, need_hessian: bool):
         if self.stats is not None and (
@@ -111,14 +137,26 @@ class QuantizationBenchmark:
         ):
             return
         self.log("\nCollecting activation statistics...")
-        self.stats = collect_calibration_stats(
-            self.arch.forward,
-            self.params,
-            [np.asarray(b) for b in self.calib_samples],
-            self.model_cfg,
-            collect_hessian=need_hessian,
-            verbose=self.verbose,
-        )
+        if self.mesh is not None:
+            from qtpu.calib.sharded import collect_calibration_stats_sharded
+
+            self.stats = collect_calibration_stats_sharded(
+                self.arch.forward,
+                self.params,
+                [np.asarray(b) for b in self.calib_samples],
+                self.model_cfg,
+                self.mesh,
+                collect_hessian=need_hessian,
+            )
+        else:
+            self.stats = collect_calibration_stats(
+                self.arch.forward,
+                self.params,
+                [np.asarray(b) for b in self.calib_samples],
+                self.model_cfg,
+                collect_hessian=need_hessian,
+                verbose=self.verbose,
+            )
 
     # ------------------------------------------------------------ metrics
     def _original_size_bytes(self) -> int:
@@ -157,6 +195,7 @@ class QuantizationBenchmark:
                 block_size=self.config.get("test_block_size", 2048),
                 qmeta=qmeta,
                 arch=self.model_cfg.arch,
+                mesh=self.mesh,
                 verbose=self.verbose,
             )
 
@@ -180,9 +219,21 @@ class QuantizationBenchmark:
     def benchmark_method(self, method: str):
         if method not in self.config["quantization_methods"]:
             return None
-        self.log("\n" + "=" * 80 + f"\nBENCHMARKING {method.upper()}\n" + "=" * 80)
         mcfg = self.config["quantization_config"][method]
-        result = BenchmarkResult(method, mcfg)
+        if isinstance(mcfg.get("w_bit"), (list, tuple)):
+            # bit-width sweep: one run per width, recorded as method@wN
+            results = []
+            for wb in mcfg["w_bit"]:
+                sub = dict(mcfg, w_bit=int(wb))
+                results.append(
+                    self._benchmark_one(method, sub, name=f"{method}@w{wb}")
+                )
+            return results
+        return self._benchmark_one(method, mcfg, name=method)
+
+    def _benchmark_one(self, method: str, mcfg: dict, name: str):
+        self.log("\n" + "=" * 80 + f"\nBENCHMARKING {name.upper()}\n" + "=" * 80)
+        result = BenchmarkResult(name, mcfg)
         try:
             start = time.time()
             needs_stats = method in ("awq", "gptq", "smoothquant")
@@ -211,8 +262,8 @@ class QuantizationBenchmark:
         except Exception as e:
             result.error = str(e)
             traceback.print_exc()
-            self.log(f"✗ {method} - Error: {e}")
-        self.results[method] = result
+            self.log(f"✗ {name} - Error: {e}")
+        self.results[name] = result
         return result
 
     # shims matching the reference's per-method entry points

@@ -61,6 +61,10 @@ SITE_OF_INPUT = {
     "head_in": ("lm_head",),
 }
 
+# tensor parallelism: these sites shard their INPUT dim (row-parallel,
+# XLA psums the partial outputs); all other sites shard the output dim
+ROW_PARALLEL_SITES = ("o_proj", "down_proj")
+
 
 def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
     """Random-normal initialized params (std 0.02, like GPT-style init).

@@ -29,6 +29,10 @@ SITE_OF_INPUT = {
     "head_in": ("lm_head",),
 }
 
+# tensor parallelism: these sites shard their INPUT dim (row-parallel,
+# XLA psums the partial outputs); all other sites shard the output dim
+ROW_PARALLEL_SITES = ("out_proj", "fc2")
+
 # HF OPT's learned positional embedding indexes position + 2
 # (modeling_opt.OPTLearnedPositionalEmbedding)
 POS_OFFSET = 2

@@ -2,12 +2,13 @@
 expressed as GSPMD shardings; XLA inserts the all-gather/reduce-scatter over
 ICI — SURVEY §5.8).
 
-Column-parallel (shard the output dim): q/k/v, gate/up, lm_head.
-Row-parallel (shard the input dim): o_proj, down_proj — XLA emits the psum
-after the partial matmuls. Norms and embeddings replicate (embed shards its
-hidden dim so the gather stays local-ish and activations enter sharded).
-Packed sites shard the same way: data/scales/zeros all carry the output (or
-input-group) dim in the same positions.
+Arch-generic: each model family declares its ROW_PARALLEL_SITES (sites
+whose INPUT dim shards — the psum side); every other linear site is
+column-parallel (output dim shards). Norm vectors and position embeddings
+replicate; the token embedding shards its hidden dim. Packed sites shard
+the same way: data/scales/zeros all carry the sharded dim in the same
+position; smooth vectors and biases follow the input/output dim of their
+site.
 """
 
 from __future__ import annotations
@@ -16,64 +17,69 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def _site_spec(site: str, ndim_extra: int) -> dict:
+def _site_spec(site: str, ndim_extra: int, row_parallel: bool) -> dict:
     """PartitionSpec per leaf key of one linear site. ndim_extra=1 when the
     leading stacked-layer axis is present."""
     lead = (None,) * ndim_extra
-    col = {"w": P(*lead, None, "model")}
-    row = {"w": P(*lead, "model", None)}
-    if site in ("o_proj", "down_proj"):
-        base = row
+    if row_parallel:
+        w = P(*lead, "model", None)
         smooth = P(*lead, "model")
+        bias = P(*lead, None)  # bias lives on the (replicated) output dim
+        packed_axis = P(*lead, "model", None)
     else:
-        base = col
+        w = P(*lead, None, "model")
         smooth = P(*lead, None)
-    # packed layout: data [*, K(/2), N], scales/zeros [*, K/g, N]
-    packed_axis = (
-        P(*lead, "model", None) if site in ("o_proj", "down_proj") else P(*lead, None, "model")
-    )
+        bias = P(*lead, "model")
+        packed_axis = P(*lead, None, "model")
     return {
-        "w": base["w"],
+        "w": w,
         "data": packed_axis,
         "scales": packed_axis,
         "zeros": packed_axis,
         "smooth": smooth,
+        "b": bias,
         "codebook": P(*lead, None),  # tiny level table, replicated
-        "b": (
-            P(*lead, "model") if site not in ("o_proj", "down_proj") else P(*lead, None)
-        ),
     }
 
 
-def param_specs(params: dict) -> dict:
-    """PartitionSpec pytree matching a (possibly packed) llama params tree."""
+def param_specs(params: dict, arch: str = "llama") -> dict:
+    """PartitionSpec pytree matching a (possibly packed) params tree of any
+    registered architecture."""
+    from qtpu.models import get_arch
+
+    arch_mod = get_arch(arch)
+    row_sites = set(getattr(arch_mod, "ROW_PARALLEL_SITES", ()))
 
     def site_specs(site: str, p: dict, extra: int) -> dict:
-        table = _site_spec(site, extra)
+        table = _site_spec(site, extra, site in row_sites)
         return {k: table[k] for k in p.keys()}
 
-    layers = params["layers"]
-    specs_layers = {}
-    for name, p in layers.items():
-        if isinstance(p, dict):
-            specs_layers[name] = site_specs(name, p, 1)
-        else:  # norm vectors [L, D]
-            specs_layers[name] = P(None, None)
-    return {
-        "embed": P(None, "model"),
-        "layers": specs_layers,
-        "final_norm": P(None),
-        "lm_head": site_specs("lm_head", params["lm_head"], 0),
-    }
+    specs = {}
+    for name, val in params.items():
+        if name == "layers":
+            specs_layers = {}
+            for site, p in val.items():
+                if isinstance(p, dict):
+                    specs_layers[site] = site_specs(site, p, 1)
+                else:  # norm vectors [L, D]
+                    specs_layers[site] = P(None, None)
+            specs[name] = specs_layers
+        elif name == "lm_head":
+            specs[name] = site_specs("lm_head", val, 0)
+        elif name == "embed":
+            specs[name] = P(None, "model")
+        else:  # pos_embed, final norms, other replicated vectors/tables
+            specs[name] = P(*((None,) * val.ndim))
+    return specs
 
 
 def batch_spec() -> P:
     return P("data", None)
 
 
-def shard_params(params: dict, mesh) -> dict:
+def shard_params(params: dict, mesh, arch: str = "llama") -> dict:
     """Place a params pytree onto the mesh with TP shardings."""
-    specs = param_specs(params)
+    specs = param_specs(params, arch)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,

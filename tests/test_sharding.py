@@ -92,3 +92,73 @@ def test_sharded_perplexity_matches_serial(setup):
         params, stream, cfg, n_samples=6, block_size=64, mesh=mesh
     )
     assert abs(sharded - serial) / serial < 0.02, (sharded, serial)
+
+
+@pytest.mark.parametrize("arch_name,model", [("gpt2", "tiny-gpt2-test"), ("opt", "tiny-opt-test")])
+def test_sharded_forward_other_archs(arch_name, model):
+    """Arch-generic TP specs: gpt2/opt sharded forwards match single-device."""
+    from qtpu.models import get_arch, get_model_config
+
+    arch = get_arch(arch_name)
+    cfg = get_model_config(model)
+    params = arch.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 64), 0, cfg.vocab_size)
+    expect = np.asarray(arch.forward(params, ids, cfg))
+    mesh = make_mesh(data=2, model=2)
+    p_sh = shard_params(params, mesh, arch=arch_name)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(arch.forward(p_sh, ids_sh, cfg))
+    np.testing.assert_allclose(got, expect, rtol=3e-2, atol=3e-2)
+
+
+def test_runner_mesh_config():
+    """config["mesh"] drives a sharded benchmark end-to-end."""
+    from qtpu.bench import QuantizationBenchmark
+
+    cfg = {
+        "model_name": "tiny-test",
+        "quantization_methods": ["awq"],
+        "calibration_dataset": "synthetic",
+        "test_dataset": "synthetic",
+        "n_calibration_samples": 4,
+        "calibration_block_size": 64,
+        "n_test_samples": 4,
+        "test_block_size": 64,
+        "quantization_config": {
+            "awq": {"w_bit": 4, "q_group_size": 64, "protect_ratio": 0.01, "scale_factor": 2.0}
+        },
+        "mesh": {"data": 4, "model": 2},
+        "verbose": False,
+    }
+    bench = QuantizationBenchmark(cfg)
+    bench.run_all_benchmarks()
+    assert bench.mesh is not None and bench.mesh.shape == {"data": 4, "model": 2}
+    assert bench.results["raw"].is_success(), bench.results["raw"].error
+    assert bench.results["awq"].is_success(), bench.results["awq"].error
+
+
+def test_runner_bitwidth_sweep():
+    """w_bit given as a list sweeps and records method@wN results."""
+    from qtpu.bench import QuantizationBenchmark
+
+    cfg = {
+        "model_name": "tiny-test",
+        "quantization_methods": ["rtn"],
+        "calibration_dataset": "synthetic",
+        "test_dataset": "synthetic",
+        "n_calibration_samples": 2,
+        "calibration_block_size": 64,
+        "n_test_samples": 2,
+        "test_block_size": 64,
+        "quantization_config": {"rtn": {"w_bit": [2, 8], "q_group_size": 64}},
+        "verbose": False,
+    }
+    bench = QuantizationBenchmark(cfg)
+    bench.run_all_benchmarks()
+    assert bench.results["rtn@w2"].is_success()
+    assert bench.results["rtn@w8"].is_success()
+    # more bits → lower ppl on the same data
+    assert (
+        bench.results["rtn@w8"].perplexity < bench.results["rtn@w2"].perplexity
+    )
