@@ -35,6 +35,8 @@ def main(argv=None) -> int:
     ap.add_argument("--max-seq", type=int, default=512)
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--http", type=int, default=0, metavar="PORT",
+                    help="serve an HTTP API instead of the demo run")
     args = ap.parse_args(argv)
 
     from qtpu.models import get_arch, get_model_config
@@ -72,6 +74,20 @@ def main(argv=None) -> int:
         kv_dtype=args.kv,
         seed=args.seed,
     )
+    if args.http:
+        from qtpu.serve.http import ServingFrontend, make_server
+
+        frontend = ServingFrontend(eng)
+        server = make_server(frontend, args.http)
+        print(f"serving on http://127.0.0.1:{server.server_address[1]} "
+              "(POST /generate, GET /health)")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            frontend.shutdown()
+        return 0
     rng = np.random.default_rng(args.seed)
     reqs = []
     for i in range(args.requests):

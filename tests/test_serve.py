@@ -239,3 +239,54 @@ def _interp_decode(mod=None, *args, mod_call=None):
         return mod.pallas_decode_attention(*args)
     finally:
         pl.pallas_call = orig
+
+
+def test_http_serving_frontend(setup):
+    """HTTP API end-to-end: health + generate over a live server, result
+    identical to the direct greedy path."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from qtpu.serve.http import ServingFrontend, make_server
+
+    cfg, params = setup
+    eng = ContinuousBatcher(params, cfg, max_batch=2, max_seq_len=128)
+    frontend = ServingFrontend(eng)
+    server = make_server(frontend, 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        prompt = [1, 2, 3, 4, 5, 6, 7, 8]
+        body = _json.dumps({"prompt_ids": prompt, "max_new_tokens": 4}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.loads(r.read())
+        assert len(out["tokens"]) == 4
+        cache = init_cache(cfg, 1, 128)
+        expect, _ = greedy_generate(
+            params, jnp.asarray(prompt)[None], cache, cfg, n_tokens=4
+        )
+        assert out["tokens"] == list(int(x) for x in np.asarray(expect[0]))
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=30
+        ) as r:
+            h = _json.loads(r.read())
+        assert h["status"] == "ok" and h["requests"] == 1
+
+        # bad request → 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b"{}", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        frontend.shutdown()
