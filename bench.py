@@ -149,6 +149,9 @@ def main():
         "final_norm": params["final_norm"],
         "lm_head": head_packed,
     }
+    from qtpu.quant.apply import fuse_packed_sites
+
+    packed, qmeta = fuse_packed_sites(packed, qmeta)  # qkv + gate/up fused
 
     t_packed = _decode_time_per_token(packed, cfg, qmeta, B, P, 2, 50)
     t_dense = _decode_time_per_token(params, cfg, None, B, P, 2, 50)

@@ -114,15 +114,7 @@ def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
     if capture != "none":
         stats["attn_in"] = _collect(h, capture)
-    q = linear(h, lp["q_proj"], qm("q_proj")).reshape(
-        B, S, cfg.num_heads, cfg.head_dim
-    )
-    k = linear(h, lp["k_proj"], qm("k_proj")).reshape(
-        B, S, cfg.num_kv_heads, cfg.head_dim
-    )
-    v = linear(h, lp["v_proj"], qm("v_proj")).reshape(
-        B, S, cfg.num_kv_heads, cfg.head_dim
-    )
+    q, k, v = _qkv(h, lp, cfg, qm, B, S)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn = causal_attention(q, k, v, mask)
@@ -133,13 +125,39 @@ def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
     if capture != "none":
         stats["mlp_in"] = _collect(h, capture)
-    gate = linear(h, lp["gate_proj"], qm("gate_proj"))
-    up = linear(h, lp["up_proj"], qm("up_proj"))
+    gate, up = _gate_up(h, lp, cfg, qm)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     if capture != "none":
         stats["down_in"] = _collect(act, capture)
     x = x + linear(act, lp["down_proj"], qm("down_proj"))
     return x, (stats if capture != "none" else None)
+
+
+def _qkv(h, lp, cfg: ModelConfig, qm, B, T):
+    """Q/K/V projections; a fused "qkv_proj" packed site (see
+    quant.apply.fuse_packed_sites) runs one wide matmul and splits."""
+    Q, KV = cfg.q_dim, cfg.kv_dim
+    if "qkv_proj" in lp:
+        qkv = linear(h, lp["qkv_proj"], qm("qkv_proj"))
+        q, k, v = jnp.split(qkv, [Q, Q + KV], axis=-1)
+    else:
+        q = linear(h, lp["q_proj"], qm("q_proj"))
+        k = linear(h, lp["k_proj"], qm("k_proj"))
+        v = linear(h, lp["v_proj"], qm("v_proj"))
+    return (
+        q.reshape(B, T, cfg.num_heads, cfg.head_dim),
+        k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim),
+        v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim),
+    )
+
+
+def _gate_up(h, lp, cfg: ModelConfig, qm):
+    if "gateup_proj" in lp:
+        gu = linear(h, lp["gateup_proj"], qm("gateup_proj"))
+        return jnp.split(gu, [cfg.intermediate_size], axis=-1)
+    return linear(h, lp["gate_proj"], qm("gate_proj")), linear(
+        h, lp["up_proj"], qm("up_proj")
+    )
 
 
 def _collect(x, capture: str):
@@ -211,15 +229,7 @@ def _layer_fwd_cached(x, lp, layer_kv, start, rope, mask, cfg: ModelConfig, qmet
     quantized = layer_kv[2] is not None
 
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-    q = linear(h, lp["q_proj"], qm("q_proj")).reshape(
-        B, T, cfg.num_heads, cfg.head_dim
-    )
-    k = linear(h, lp["k_proj"], qm("k_proj")).reshape(
-        B, T, cfg.num_kv_heads, cfg.head_dim
-    )
-    v = linear(h, lp["v_proj"], qm("v_proj")).reshape(
-        B, T, cfg.num_kv_heads, cfg.head_dim
-    )
+    q, k, v = _qkv(h, lp, cfg, qm, B, T)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
@@ -227,8 +237,7 @@ def _layer_fwd_cached(x, lp, layer_kv, start, rope, mask, cfg: ModelConfig, qmet
     x = x + linear(attn, lp["o_proj"], qm("o_proj"))
 
     h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-    gate = linear(h, lp["gate_proj"], qm("gate_proj"))
-    up = linear(h, lp["up_proj"], qm("up_proj"))
+    gate, up = _gate_up(h, lp, cfg, qm)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     x = x + linear(act, lp["down_proj"], qm("down_proj"))
     return x, layer_kv
