@@ -114,7 +114,7 @@ def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
     if capture != "none":
         stats["attn_in"] = _collect(h, capture)
-    q, k, v = _qkv(h, lp, cfg, qm, B, S)
+    q, k, v = _qkv(h, lp, cfg, qm)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn = causal_attention(q, k, v, mask)
@@ -133,9 +133,10 @@ def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     return x, (stats if capture != "none" else None)
 
 
-def _qkv(h, lp, cfg: ModelConfig, qm, B, T):
+def _qkv(h, lp, cfg: ModelConfig, qm):
     """Q/K/V projections; a fused "qkv_proj" packed site (see
     quant.apply.fuse_packed_sites) runs one wide matmul and splits."""
+    B, T = h.shape[:2]
     Q, KV = cfg.q_dim, cfg.kv_dim
     if "qkv_proj" in lp:
         qkv = linear(h, lp["qkv_proj"], qm("qkv_proj"))
@@ -229,7 +230,7 @@ def _layer_fwd_cached(x, lp, layer_kv, start, rope, mask, cfg: ModelConfig, qmet
     quantized = layer_kv[2] is not None
 
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-    q, k, v = _qkv(h, lp, cfg, qm, B, T)
+    q, k, v = _qkv(h, lp, cfg, qm)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
@@ -306,9 +307,15 @@ def forward(
     qmeta_d = dict(qmeta) if qmeta is not None else None
     B, S = input_ids.shape
     x = params["embed"][input_ids].astype(params["embed"].dtype)
-    positions = jnp.arange(S)
+    # tie the positions to a traced value: ops on static-only inputs run
+    # EAGERLY under trace, so a plain arange/tril mask becomes a multi-MB
+    # constant baked into the HLO (S=2048 → >4 MB, which overflows this
+    # backend's remote-compile request limit); one traced zero keeps the
+    # mask and RoPE tables as compact ops instead
+    t0 = (input_ids[0, 0] * 0).astype(jnp.int32)
+    positions = jnp.arange(S) + t0
     rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-    mask = jnp.tril(jnp.ones((S, S), bool))[None, None, :, :]
+    mask = (jnp.arange(S)[None, :] <= positions[:, None])[None, None, :, :]
 
     def body(x, lp):
         x_out, stats = _layer_fwd(x, lp, cfg, rope, mask, capture, qmeta_d)

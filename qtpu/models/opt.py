@@ -119,11 +119,13 @@ def forward(
 ):
     qmeta_d = dict(qmeta) if qmeta is not None else None
     B, S = input_ids.shape
-    pos = jnp.arange(S) + POS_OFFSET
+    t0 = (input_ids[0, 0] * 0).astype(jnp.int32)
+    positions = jnp.arange(S) + t0  # traced → no baked [S,S] constants
+    pos = positions + POS_OFFSET
     x = (params["embed"][input_ids] + params["pos_embed"][pos][None]).astype(
         params["embed"].dtype
     )
-    mask = jnp.tril(jnp.ones((S, S), bool))[None, None, :, :]
+    mask = (jnp.arange(S)[None, :] <= positions[:, None])[None, None, :, :]
 
     def body(x, lp):
         return _layer_fwd(x, lp, cfg, mask, capture, qmeta_d)

@@ -495,30 +495,49 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
     """Fuse packed sites that share an input into one wider matmul
     (llama: q/k/v → qkv_proj, gate/up → gateup_proj): 7 → 4 kernel
     launches per layer at decode, and wider N tiles for the fused
-    dequant-matmul. Only sites without per-site input transforms fuse
-    (a "smooth" vector differing across the group would need per-site
-    input scaling). Returns (fused_params, fused_qmeta)."""
-    if arch != "llama":
+    dequant-matmul. Sites with "smooth" input vectors fuse only when the
+    vectors are identical across the group (true for AWQ by construction:
+    the protection comes from the shared input's importance); codebook
+    sites never fuse. Returns (fused_params, fused_qmeta)."""
+    import numpy as np
+
+    layers = dict(packed["layers"])
+    # structural guard (not the arch arg, which callers forget): only the
+    # llama family has o_proj + gate_proj alongside q/k/v
+    if arch != "llama" or "o_proj" not in layers or "gate_proj" not in layers:
         return packed, qmeta
     meta = dict(qmeta)
-    layers = dict(packed["layers"])
+
+    def _smooths_equal(parts):
+        if not all("smooth" in p for p in parts):
+            return "smooth" not in parts[0] and not any("smooth" in p for p in parts)
+        s0 = np.asarray(parts[0]["smooth"])
+        return all(np.array_equal(np.asarray(p["smooth"]), s0) for p in parts[1:])
 
     def fusable(names):
-        return all(
-            isinstance(layers.get(n), dict)
-            and "data" in layers[n]
-            and "smooth" not in layers[n]
-            and "codebook" not in layers[n]
-            for n in names
-        )
+        parts = [layers.get(n) for n in names]
+        if not all(
+            isinstance(p, dict) and "data" in p and "codebook" not in p
+            for p in parts
+        ):
+            return False
+        # identical key sets (a symmetric/asymmetric mix would silently
+        # drop zeros) and identical (bits, group, K) metas
+        if any(set(p.keys()) != set(parts[0].keys()) for p in parts[1:]):
+            return False
+        if any(meta[n][:3] != meta[names[0]][:3] for n in names[1:]):
+            return False
+        return _smooths_equal(parts)
 
     def fuse(names, fused_name):
         parts = [layers[n] for n in names]
         fused = {
             k: jnp.concatenate([p[k] for p in parts], axis=-1)
             for k in parts[0]
-            if parts[0][k] is not None
+            if k != "smooth" and parts[0][k] is not None
         }
+        if "smooth" in parts[0]:
+            fused["smooth"] = parts[0]["smooth"]  # identical across group
         bits, g, K, _ = meta[names[0]]
         N = sum(meta[n][3] for n in names)
         for n in names:

@@ -204,3 +204,33 @@ def test_w8a8_smoothquant_serving(setup):
     assert rel < 0.1
     # really int8-per-channel stored
     assert packed["layers"]["q_proj"]["data"].dtype == jnp.int8
+
+
+def test_fused_sites_match_unfused(setup):
+    """fuse_packed_sites (qkv + gate/up) must be bit-identical to the
+    per-site packed path, for RTN and for AWQ (whose identical-by-
+    construction smooth vectors fuse too); OPT trees pass through."""
+    from qtpu.quant.apply import fuse_packed_sites
+
+    cfg, params, batches, stats = setup
+    for method, mcfg in [
+        ("rtn", {"w_bit": 4, "q_group_size": 64}),
+        ("awq", {"w_bit": 4, "q_group_size": 64, "protect_ratio": 0.01, "scale_factor": 2.0}),
+    ]:
+        packed, qmeta = pack_model(params, method, mcfg, stats)
+        fused, fmeta = fuse_packed_sites(packed, qmeta)
+        assert "qkv_proj" in fused["layers"] and "gateup_proj" in fused["layers"]
+        a = forward(packed, batches[0], cfg, qmeta=qmeta)
+        b = forward(fused, batches[0], cfg, qmeta=fmeta)
+        assert float(jnp.abs(a - b).max()) == 0.0, method
+
+    # opt structure passes through untouched even with default arch arg
+    from qtpu.models import get_model_config
+    from qtpu.models.opt import init_params as opt_init
+
+    ocfg = get_model_config("tiny-opt-test")
+    oparams = opt_init(ocfg, jax.random.PRNGKey(0))
+    opacked, ometa = pack_model(oparams, "rtn", {"w_bit": 4, "q_group_size": 64}, arch="opt")
+    ofused, _ = fuse_packed_sites(opacked, ometa)
+    assert "qkv_proj" not in ofused["layers"]
+    assert "q_proj" in ofused["layers"]
