@@ -19,57 +19,7 @@ from pathlib import Path
 import numpy as np
 
 
-def _tiled_packed_model(cfg, w_bit=4, group=128):
-    import jax
-    import jax.numpy as jnp
-
-    from qtpu.core.packing import quantize_pack
-    from qtpu.quant.apply import fuse_packed_sites
-
-    L = cfg.num_layers
-    D, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
-    Q, KV = cfg.q_dim, cfg.kv_dim
-    keys = jax.random.split(jax.random.PRNGKey(0), 8)
-
-    def tile(a):
-        return jnp.broadcast_to(a[None], (L,) + a.shape)
-
-    site_shapes = {
-        "q_proj": (D, Q),
-        "k_proj": (D, KV),
-        "v_proj": (D, KV),
-        "o_proj": (Q, D),
-        "gate_proj": (D, F),
-        "up_proj": (D, F),
-        "down_proj": (F, D),
-    }
-    metas = {}
-    layers = {
-        "attn_norm": jnp.ones((L, D), jnp.bfloat16),
-        "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
-    }
-    for (site, sh), k in zip(site_shapes.items(), keys[:7]):
-        w1 = jax.random.normal(k, sh, jnp.bfloat16) * 0.02
-        qt = quantize_pack(w1, w_bit, group)
-        layers[site] = {
-            "data": tile(qt.data),
-            "scales": tile(qt.scales),
-            "zeros": tile(qt.zeros),
-        }
-        metas[site] = (w_bit, group, sh[0], sh[1])
-        del w1, qt
-    head_w = jax.random.normal(keys[7], (D, V), jnp.bfloat16) * 0.02
-    qt = quantize_pack(head_w, w_bit, group)
-    del head_w
-    packed = {
-        "embed": jax.random.normal(jax.random.PRNGKey(9), (V, D), jnp.bfloat16)
-        * 0.02,
-        "layers": layers,
-        "final_norm": jnp.ones((D,), jnp.bfloat16),
-        "lm_head": {"data": qt.data, "scales": qt.scales, "zeros": qt.zeros},
-    }
-    metas["lm_head"] = (w_bit, group, D, V)
-    return fuse_packed_sites(packed, tuple(sorted(metas.items())))
+from qtpu.bench.synth import tiled_packed_llama as _tiled_packed_model  # noqa: E402
 
 
 def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large):
@@ -111,17 +61,20 @@ def prefill_tps(packed, qmeta, cfg, B, S, iters=6):
         np.random.default_rng(2).integers(0, cfg.vocab_size, (B, S)), jnp.int32
     )
 
+    # params must be an ARGUMENT: closure-captured arrays embed as HLO
+    # constants and the whole packed model would ship in the compile request
+    # (this backend 413s on large bodies)
     step = jax.jit(
-        lambda ids: jnp.argmax(forward(packed, ids, cfg, qmeta=qmeta), -1).astype(
-            jnp.int32
-        )
+        lambda p, ids: jnp.argmax(
+            forward(p, ids, cfg, qmeta=qmeta), -1
+        ).astype(jnp.int32)
     )
 
     def run(n):
         ids = ids0
         t0 = time.perf_counter()
         for _ in range(n):
-            ids = step(ids)
+            ids = step(packed, ids)
         float(jnp.sum(ids))
         return time.perf_counter() - t0
 
@@ -134,24 +87,27 @@ def main():
     from qtpu.models import LLAMA2_7B, TINYLLAMA_1_1B
 
     out = {}
+    Path("results").mkdir(exist_ok=True)
 
-    cfg = TINYLLAMA_1_1B
-    packed, qmeta = _tiled_packed_model(cfg)
-    out["tinyllama_w4_prefill_tokens_per_s_s2048"] = round(
-        prefill_tps(packed, qmeta, cfg, B=2, S=2048), 1
-    )
-    del packed
+    def flush():
+        with open("results/perf_tpu.json", "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out), flush=True)
 
     cfg7 = LLAMA2_7B
-    packed7, qmeta7 = _tiled_packed_model(cfg7)
+    packed7, qmeta7 = _tiled_packed_model(cfg7, 4, 128)
     out["llama2_7b_w4_decode_tokens_per_s"] = round(
         decode_tps(packed7, qmeta7, cfg7, B=8, P=128, n_small=2, n_large=34), 1
     )
+    flush()
+    del packed7
 
-    Path("results").mkdir(exist_ok=True)
-    with open("results/perf_tpu.json", "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps(out))
+    cfg = TINYLLAMA_1_1B
+    packed, qmeta = _tiled_packed_model(cfg, 4, 128)
+    out["tinyllama_w4_prefill_tokens_per_s_s2048"] = round(
+        prefill_tps(packed, qmeta, cfg, B=2, S=2048), 1
+    )
+    flush()
     return 0
 
 
