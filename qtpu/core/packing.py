@@ -3,10 +3,11 @@
 The reference only *simulates* compression (pseudo-quantize in place,
 quantization_utils.py:362-413) and accounts size arithmetically
 (quantization_utils.py:329-355). Here quantized weights are actually stored
-packed: W8 as int8, W4 as two uint4 nibbles per int8 byte, packed along the
-contraction (K) axis so the fused dequant-matmul kernel unpacks contiguous
-K-pairs. Per-group scales are bf16; asymmetric zero-points are stored in the
-quantized integer domain (uint8 holding 4- or 8-bit values).
+packed: W8 as int8, W4 as two uint4 nibbles per byte (group-halves), W2 as
+four values per byte (group-quarters), packed along the contraction (K)
+axis so the fused dequant-matmul kernel unpacks contiguous group tiles.
+Per-group scales are bf16; asymmetric zero-points are stored in the
+quantized integer domain (uint8).
 
 Weight convention throughout qtpu: W has shape [K_in, N_out] (y = x @ W) and
 quantization groups tile the K axis — the same channels the reference groups
@@ -41,6 +42,37 @@ def pack_int4(q: jnp.ndarray, group_size: int | None = None) -> jnp.ndarray:
     lo = qg[:, : g // 2]
     hi = qg[:, g // 2 :]
     return (lo | (hi << 4)).astype(jnp.int8).reshape(K // 2, *q.shape[1:])
+
+
+def pack_int2(q: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """Pack uint2 values (range [0,3]) along axis 0, GROUP-QUARTERS layout:
+    within each group of g rows, byte j holds rows (j, j+g/4, j+g/2,
+    j+3g/4) in bit pairs (0-1, 2-3, 4-5, 6-7) — the 2-bit analogue of the
+    group-halves int4 layout (each quarter is a contiguous tile sharing the
+    group's scale)."""
+    K = q.shape[0]
+    g = group_size
+    if K % g != 0 or g % 4 != 0:
+        raise ValueError(f"K={K} must be divisible by group_size={g} % 4 == 0")
+    q = q.astype(jnp.uint8)
+    qg = q.reshape(K // g, 4, g // 4, *q.shape[1:])
+    b = (
+        qg[:, 0]
+        | (qg[:, 1] << 2)
+        | (qg[:, 2] << 4)
+        | (qg[:, 3] << 6)
+    )
+    return b.astype(jnp.int8).reshape(K // 4, *q.shape[1:])
+
+
+def unpack_int2(packed: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """Inverse of pack_int2 → uint8 values in [0,3], axis 0 ×4."""
+    K4 = packed.shape[0]
+    g = group_size
+    p = packed.astype(jnp.uint8).reshape(4 * K4 // g, g // 4, *packed.shape[1:])
+    parts = [(p >> (2 * i)) & jnp.uint8(0x3) for i in range(4)]
+    out = jnp.concatenate(parts, axis=1)
+    return out.reshape(4 * K4, *packed.shape[1:])
 
 
 def unpack_int4(packed: jnp.ndarray, group_size: int | None = None) -> jnp.ndarray:
@@ -141,12 +173,14 @@ def quantize_pack(
         zeros = zp.reshape(K // g, N).astype(jnp.uint8)
     store = store.reshape(K, N)
     scales2 = scales.reshape(K // g, N).astype(SCALE_DTYPE)
-    if bits == 4:
+    if bits == 2:
+        data = pack_int2(store.astype(jnp.uint8), g)
+    elif bits == 4:
         data = pack_int4(store.astype(jnp.uint8), g)
     elif bits == 8:
         data = (store.astype(jnp.int32) - 128).astype(jnp.int8)
     else:
-        raise ValueError(f"packed storage supports bits in (4, 8), got {bits}")
+        raise ValueError(f"packed storage supports bits in (2, 4, 8), got {bits}")
     return QuantizedTensor(
         data=data, scales=scales2, zeros=zeros, bits=bits, group_size=g, shape=(K, N)
     )
@@ -157,7 +191,9 @@ def dequantize(qt: QuantizedTensor, out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Reference (non-Pallas) dequantization of a QuantizedTensor → [K, N]."""
     K, N = qt.shape
     g = qt.group_size
-    if qt.bits == 4:
+    if qt.bits == 2:
+        qu = unpack_int2(qt.data, g).astype(jnp.int32)  # [K, N] in [0,3]
+    elif qt.bits == 4:
         qu = unpack_int4(qt.data, g).astype(jnp.int32)  # [K, N] in [0,15]
     else:
         qu = qt.data.astype(jnp.int32) + 128  # back to [0,255]

@@ -22,11 +22,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from qtpu.core.packing import unpack_int4
+from qtpu.core.packing import unpack_int2, unpack_int4
 
 
 def _dequant_ref(data, scales, zeros, bits, group_size, K, N, out_dtype):
-    if bits == 4:
+    if bits == 2:
+        qu = unpack_int2(data, group_size).astype(jnp.int32)
+    elif bits == 4:
         qu = unpack_int4(data, group_size).astype(jnp.int32)
     else:
         qu = data.astype(jnp.int32) + 128

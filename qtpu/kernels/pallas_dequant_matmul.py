@@ -56,7 +56,17 @@ def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
     acc = None
     for c in range(n_groups):  # static unroll; all indices static
         s = s_ref[c, :][None, :].astype(jnp.float32)  # [1, bn]
-        if bits == 4:
+        if bits == 2:
+            packed = d_ref[c * (group // 4) : (c + 1) * (group // 4), :]
+            pu = packed.astype(jnp.int32) & 0xFF
+            q = jnp.concatenate(
+                [
+                    jax.lax.shift_right_arithmetic(pu, 2 * i) & 0x3
+                    for i in range(4)
+                ],
+                axis=0,
+            )  # [group, bn] in [0,3] (group-quarters layout)
+        elif bits == 4:
             packed = d_ref[c * (group // 2) : (c + 1) * (group // 2), :]
             if _F32_UNPACK:
                 # f32-arithmetic unpack: one sitofp then float ops — fewer
@@ -114,8 +124,8 @@ def pallas_quantized_matmul(x, data, scales, zeros, meta, interpret=False):
     kernel does not tile (caller falls back to the XLA path).
     """
     bits, group, K, N = meta
-    if group <= 0 or group % 2 != 0 or K % group != 0:
-        raise NotImplementedError("pallas path needs positive even group | K")
+    if group <= 0 or group % 4 != 0 or K % group != 0:
+        raise NotImplementedError("pallas path needs group % 4 == 0 | K")
     orig_shape = x.shape
     M = 1
     for d in orig_shape[:-1]:
@@ -134,7 +144,7 @@ def pallas_quantized_matmul(x, data, scales, zeros, meta, interpret=False):
     in_specs = [
         pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            ((K // 2) if bits == 4 else K, bn),
+            (K // (8 // bits) if bits in (2, 4) else K, bn),
             lambda i, j: (0, j),
             memory_space=pltpu.VMEM,
         ),

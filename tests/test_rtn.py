@@ -65,7 +65,17 @@ def test_int4_pack_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(q, np.uint8))
 
 
-@pytest.mark.parametrize("bits", [4, 8])
+def test_int2_pack_roundtrip(rng):
+    from qtpu.core.packing import pack_int2, unpack_int2
+
+    q = jax.random.randint(rng, (128, 32), 0, 4, jnp.int32)
+    packed = pack_int2(q, 64)
+    assert packed.shape == (32, 32) and packed.dtype == jnp.int8
+    back = unpack_int2(packed, 64)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(q, np.uint8))
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
 @pytest.mark.parametrize("symmetric", [False, True])
 def test_quantize_pack_dequant_close(rng, bits, symmetric):
     w = jax.random.normal(rng, (256, 128))
