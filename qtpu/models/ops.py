@@ -66,6 +66,10 @@ def linear(x: jnp.ndarray, p: dict, site_meta=None) -> jnp.ndarray:
     """
     if "smooth" in p:
         x = x * p["smooth"].astype(x.dtype)
+    if "perm" in p:
+        # actorder-packed GPTQ: weights stored in Hessian-diagonal order,
+        # activations gathered into the same order (g_idx-style)
+        x = jnp.take(x, p["perm"], axis=-1)
     if "w" in p:
         y = x @ p["w"].astype(x.dtype)
     elif "codebook" in p:

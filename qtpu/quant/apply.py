@@ -405,12 +405,15 @@ def pack_model(
             metas[site] = (w_bit, g, w.shape[-2], w.shape[-1])
             return p
         elif method == "gptq":
-            # full error-compensated GPTQ with integer export (actorder off)
+            # full error-compensated GPTQ with integer export; with
+            # actorder the column permutation is stored per layer and
+            # applied to the activations at serve time (g_idx-style)
             if stats is None:
                 raise ValueError("gptq packing requires calibration stats")
             in_site = _input_site_of(site, arch_mod)
             damp = float(mcfg.get("perp_damp", 0.01))
             nsamples = int(mcfg.get("nsamples", 128))
+            actorder = bool(mcfg.get("actorder", False))
             if stats.hessian is not None and in_site in stats.hessian:
                 H_all = stats.hessian[in_site]
             elif has_l:
@@ -431,9 +434,12 @@ def pack_model(
 
             bs = max(int(mcfg.get("blocksize", 128)), g)
 
-            def gptq_one(w_kn, U):
+            def gptq_one(w_kn, U, perm=None):
+                w_oi = w_kn.T.astype(jnp.float32)
+                if perm is not None:
+                    w_oi = w_oi[:, perm]
                 _, q, s_all, z_all = gptq_column_sweep(
-                    w_kn.T.astype(jnp.float32),
+                    w_oi,
                     U,
                     w_bit,
                     g,
@@ -451,7 +457,10 @@ def pack_model(
                     data = (codes.astype(jnp.int32) - 128).astype(jnp.int8)
                 else:
                     raise ValueError("gptq packing supports w_bit in (4, 8)")
-                return {"data": data, "scales": scales, "zeros": zeros}
+                out = {"data": data, "scales": scales, "zeros": zeros}
+                if perm is not None:
+                    out["perm"] = perm
+                return out
 
             if has_l:
                 K = w.shape[-2]
@@ -465,11 +474,20 @@ def pack_model(
                     w_kn, h = args
                     if h_is_stats:  # [S, C] stat vectors → proxy H in-map
                         h = build_proxy_hessian(h, damp)
+                    if actorder:
+                        perm = jnp.argsort(-jnp.diag(h))
+                        h = h[perm][:, perm]
+                        return gptq_one(w_kn, gptq_prepare_factor(h, damp), perm)
                     return gptq_one(w_kn, gptq_prepare_factor(h, damp))
 
                 p = jax.lax.map(pack_layer, (w, H_all), batch_size=chunk)
             else:
-                p = gptq_one(w, gptq_prepare_factor(H_all, damp))
+                if actorder:
+                    perm = jnp.argsort(-jnp.diag(H_all.astype(jnp.float32)))
+                    Hp = H_all[perm][:, perm]
+                    p = gptq_one(w, gptq_prepare_factor(Hp, damp), perm)
+                else:
+                    p = gptq_one(w, gptq_prepare_factor(H_all, damp))
             metas[site] = (w_bit, g, w.shape[-2], w.shape[-1])
             return p
         else:
@@ -508,11 +526,16 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
         return packed, qmeta
     meta = dict(qmeta)
 
-    def _smooths_equal(parts):
-        if not all("smooth" in p for p in parts):
-            return "smooth" not in parts[0] and not any("smooth" in p for p in parts)
-        s0 = np.asarray(parts[0]["smooth"])
-        return all(np.array_equal(np.asarray(p["smooth"]), s0) for p in parts[1:])
+    def _shared_key_equal(parts, key):
+        """Keys applied to the shared INPUT (smooth, perm) may only fuse
+        when identical across the group — then one copy is kept."""
+        present = ["smooth" if False else key in p for p in parts]
+        if not any(present):
+            return True
+        if not all(present):
+            return False
+        s0 = np.asarray(parts[0][key])
+        return all(np.array_equal(np.asarray(p[key]), s0) for p in parts[1:])
 
     def fusable(names):
         parts = [layers.get(n) for n in names]
@@ -527,17 +550,20 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
             return False
         if any(meta[n][:3] != meta[names[0]][:3] for n in names[1:]):
             return False
-        return _smooths_equal(parts)
+        return _shared_key_equal(parts, "smooth") and _shared_key_equal(
+            parts, "perm"
+        )
 
     def fuse(names, fused_name):
         parts = [layers[n] for n in names]
         fused = {
             k: jnp.concatenate([p[k] for p in parts], axis=-1)
             for k in parts[0]
-            if k != "smooth" and parts[0][k] is not None
+            if k not in ("smooth", "perm") and parts[0][k] is not None
         }
-        if "smooth" in parts[0]:
-            fused["smooth"] = parts[0]["smooth"]  # identical across group
+        for shared in ("smooth", "perm"):
+            if shared in parts[0]:
+                fused[shared] = parts[0][shared]  # identical across group
         bits, g, K, _ = meta[names[0]]
         N = sum(meta[n][3] for n in names)
         for n in names:

@@ -39,6 +39,7 @@ def _site_spec(site: str, ndim_extra: int, row_parallel: bool) -> dict:
         "smooth": smooth,
         "b": bias,
         "codebook": P(*lead, None),  # tiny level table, replicated
+        "perm": P(*lead, None),  # actorder column order, replicated
     }
 
 

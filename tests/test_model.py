@@ -234,3 +234,44 @@ def test_fused_sites_match_unfused(setup):
     ofused, _ = fuse_packed_sites(opacked, ometa)
     assert "qkv_proj" not in ofused["layers"]
     assert "q_proj" in ofused["layers"]
+
+
+def test_packed_gptq_actorder(setup):
+    """actorder packed export: codes in Hessian-diagonal order with the
+    permutation applied to activations at serve time — must match the
+    actorder fake-quant path (which un-permutes the weights)."""
+    cfg, params, batches, stats = setup
+    mcfg = {
+        "w_bit": 4,
+        "q_group_size": 64,
+        "error_compensation": True,
+        "blocksize": 64,
+        "actorder": True,
+    }
+    fq = quantize_model(params, "gptq", mcfg, stats)
+    packed, qmeta = pack_model(params, "gptq", mcfg, stats)
+    assert "perm" in packed["layers"]["q_proj"]
+    lg_fq = forward(fq, batches[0], cfg)
+    lg_pk = forward(packed, batches[0], cfg, qmeta=qmeta)
+    assert float(jnp.abs(lg_pk - lg_fq).mean()) < 0.01
+
+
+def test_fused_gptq_actorder(setup):
+    """actorder-packed sites fuse (identical perms from the shared input's
+    Hessian) and stay bit-identical."""
+    from qtpu.quant.apply import fuse_packed_sites
+
+    cfg, params, batches, stats = setup
+    mcfg = {
+        "w_bit": 4,
+        "q_group_size": 64,
+        "error_compensation": True,
+        "blocksize": 64,
+        "actorder": True,
+    }
+    packed, qmeta = pack_model(params, "gptq", mcfg, stats)
+    fused, fmeta = fuse_packed_sites(packed, qmeta)
+    assert "qkv_proj" in fused["layers"]
+    a = forward(packed, batches[0], cfg, qmeta=qmeta)
+    b = forward(fused, batches[0], cfg, qmeta=fmeta)
+    assert float(jnp.abs(a - b).max()) == 0.0
