@@ -68,7 +68,11 @@ def linear(x: jnp.ndarray, p: dict, site_meta=None) -> jnp.ndarray:
         x = x * p["smooth"].astype(x.dtype)
     if "perm" in p:
         # actorder-packed GPTQ: weights stored in Hessian-diagonal order,
-        # activations gathered into the same order (g_idx-style)
+        # activations gathered into the same order (g_idx-style). Under
+        # tensor parallelism this global gather forces an all-gather of the
+        # sharded activation axis on row-parallel sites — actorder serving
+        # trades that ICI cost for the ordering win; shard-local perms are
+        # a future optimization.
         x = jnp.take(x, p["perm"], axis=-1)
     if "w" in p:
         y = x @ p["w"].astype(x.dtype)

@@ -414,7 +414,8 @@ def pack_model(
             damp = float(mcfg.get("perp_damp", 0.01))
             nsamples = int(mcfg.get("nsamples", 128))
             actorder = bool(mcfg.get("actorder", False))
-            if stats.hessian is not None and in_site in stats.hessian:
+            have_true_h = stats.hessian is not None and in_site in stats.hessian
+            if have_true_h:
                 H_all = stats.hessian[in_site]
             elif has_l:
                 # keep proxy Hessians unmaterialized: stacked stat vectors
@@ -423,11 +424,7 @@ def pack_model(
                 H_all = jnp.swapaxes(mv, 0, 1)
             else:
                 mv = stats.mean_abs[in_site][:nsamples]
-                H_all = (
-                    jax.vmap(build_proxy_hessian, in_axes=1)(mv)
-                    if has_l
-                    else build_proxy_hessian(mv)
-                )
+                H_all = build_proxy_hessian(mv, damp)
 
             from qtpu.core.packing import pack_int4
             from qtpu.quant.gptq import gptq_column_sweep, gptq_prepare_factor
@@ -468,11 +465,9 @@ def pack_model(
                     1,
                     min(8, int(1.5e9 // (K * K * 16 + K * w.shape[-1] * 16))),
                 )
-                h_is_stats = H_all.shape[-2] != H_all.shape[-1]
-
                 def pack_layer(args):
                     w_kn, h = args
-                    if h_is_stats:  # [S, C] stat vectors → proxy H in-map
+                    if not have_true_h:  # [S, C] stat vectors → proxy H in-map
                         h = build_proxy_hessian(h, damp)
                     if actorder:
                         perm = jnp.argsort(-jnp.diag(h))
@@ -529,7 +524,7 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
     def _shared_key_equal(parts, key):
         """Keys applied to the shared INPUT (smooth, perm) may only fuse
         when identical across the group — then one copy is kept."""
-        present = ["smooth" if False else key in p for p in parts]
+        present = [key in p for p in parts]
         if not any(present):
             return True
         if not all(present):
@@ -547,6 +542,10 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
         # identical key sets (a symmetric/asymmetric mix would silently
         # drop zeros) and identical (bits, group, K) metas
         if any(set(p.keys()) != set(parts[0].keys()) for p in parts[1:]):
+            return False
+        # W8A8 sites carry 5-tuple ("a8") metas whose kernel dispatch a
+        # fused 4-tuple meta would silently change — never fuse them
+        if any(len(meta[n]) != 4 for n in names):
             return False
         if any(meta[n][:3] != meta[names[0]][:3] for n in names[1:]):
             return False

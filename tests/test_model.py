@@ -275,3 +275,21 @@ def test_fused_gptq_actorder(setup):
     a = forward(packed, batches[0], cfg, qmeta=qmeta)
     b = forward(fused, batches[0], cfg, qmeta=fmeta)
     assert float(jnp.abs(a - b).max()) == 0.0
+
+
+def test_w8a8_sites_never_fuse(setup):
+    """Fusing a8 (5-tuple meta) sites would silently change kernel
+    dispatch — fusable() must reject them."""
+    from qtpu.quant.apply import fuse_packed_sites
+
+    cfg, params, batches, stats = setup
+    packed, qmeta = pack_model(
+        params,
+        "smoothquant",
+        {"w_bit": 8, "q_group_size": 128, "alpha": 0.5, "act_quant": True},
+        stats,
+    )
+    fused, fmeta = fuse_packed_sites(packed, qmeta)
+    assert "qkv_proj" not in fused["layers"]
+    lg = forward(fused, batches[0], cfg, qmeta=fmeta)
+    assert bool(jnp.all(jnp.isfinite(lg)))
