@@ -311,6 +311,11 @@ class QuantizationBenchmark:
                 self.stats if needs_stats else None,
                 arch=self.model_cfg.arch,
             )
+            from qtpu.quant.apply import fuse_packed_sites
+
+            packed, qmeta = fuse_packed_sites(
+                packed, qmeta, arch=self.model_cfg.arch
+            )
             B = int(scfg.get("max_batch_size", 8))
             P = min(128, self.model_cfg.max_seq_len // 2)
             quant_kv = scfg.get("kv_cache_dtype", "int8") == "int8"

@@ -66,12 +66,24 @@ def quantized_matmul(x, data, scales, zeros, meta):
     return _quantized_matmul_ref(x, data, scales, zeros, meta)
 
 
-@partial(jax.jit, static_argnames=("meta",))
 def codebook_matmul(x, data, scales, codebook, meta):
     """y = x @ (scales ∘ codebook[codes]) for POT/APOT codebook-packed
     weights. data: int4-packed codes (group-halves); scales [K/g, N];
     codebook [n_levels] f32 level values (|level| ≤ max level; scale caps
-    magnitude). XLA path; Pallas LUT kernel is a future optimization."""
+    magnitude). On TPU dispatches to the Pallas select-chain LUT kernel;
+    elsewhere the XLA gather path."""
+    if jax.default_backend() == "tpu":
+        try:
+            from qtpu.kernels.pallas_dequant_matmul import pallas_codebook_matmul
+
+            return pallas_codebook_matmul(x, data, scales, codebook, meta)
+        except NotImplementedError:
+            pass
+    return _codebook_matmul_ref(x, data, scales, codebook, meta)
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def _codebook_matmul_ref(x, data, scales, codebook, meta):
     bits, group_size, K, N = meta
     codes = unpack_int4(data, group_size).astype(jnp.int32)  # [K, N]
     w = codebook[codes].reshape(K // group_size, group_size, N)

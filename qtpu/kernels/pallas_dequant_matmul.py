@@ -115,6 +115,100 @@ def _choose_blocks(M, K, N):
     return bm, bn
 
 
+def _cb_matmul_kernel(x_ref, d_ref, s_ref, cb_ref, o_ref, *, group, K, n_levels):
+    """Codebook (POT/APOT) variant: y = Σ_groups s ∘ (x_g @ cb[q_g]).
+
+    Codes are int4-packed (group-halves, same layout as W4). The LUT is a
+    branch-free select chain over the ≤16 static level slots, reading each
+    level value as a scalar from SMEM — Mosaic has no vector gather, and
+    for ≤16 entries selects are cheap VPU work. Levels are sums of powers
+    of two (POT/APOT), so exact in bf16 — the MXU consumes cb[q] directly
+    and the per-group scale folds into the [bm, bn] output tile, exactly
+    like the affine kernel above."""
+    x = x_ref[:]  # [bm, K]
+    n_groups = K // group
+    acc = None
+    for c in range(n_groups):
+        s = s_ref[c, :][None, :].astype(jnp.float32)  # [1, bn]
+        packed = d_ref[c * (group // 2) : (c + 1) * (group // 2), :]
+        pu = packed.astype(jnp.int32) & 0xFF
+        lo = pu & 0xF
+        hi = jax.lax.shift_right_arithmetic(pu, 4) & 0xF
+        q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] codes
+        vals = jnp.full(q.shape, cb_ref[0, 0], jnp.float32)
+        for l in range(1, n_levels):
+            vals = jnp.where(q == l, cb_ref[0, l], vals)
+        part = jnp.dot(
+            x[:, c * group : (c + 1) * group],
+            vals.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        part = part * s
+        acc = part if acc is None else acc + part
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("meta", "interpret"))
+def pallas_codebook_matmul(x, data, scales, codebook, meta, interpret=False):
+    """y = x @ (scales ∘ codebook[codes]) via the fused Pallas kernel.
+
+    Same tiling/dispatch contract as pallas_quantized_matmul; codebook is
+    a [n_levels ≤ 16] level table placed in SMEM. Raises NotImplementedError
+    for shapes the kernel does not tile (caller falls back to XLA)."""
+    bits, group, K, N = meta
+    if bits != 4 or group <= 0 or group % 4 != 0 or K % group != 0:
+        raise NotImplementedError("pallas codebook path needs 4-bit codes")
+    n_levels = int(codebook.shape[-1])
+    if n_levels > 16:
+        raise NotImplementedError("codebook too large for select-chain LUT")
+    orig_shape = x.shape
+    M = 1
+    for d in orig_shape[:-1]:
+        M *= d
+    x2 = x.reshape(M, K)
+    pad_m = (-M) % max(1, int(os.environ.get("QTPU_M_ALIGN", "8")))
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    bm, bn = _choose_blocks(Mp, K, N)
+    if Mp % bm or N % bn:
+        raise NotImplementedError("shapes do not tile")
+
+    grid = (Mp // bm, N // bn)
+    out = pl.pallas_call(
+        partial(_cb_matmul_kernel, group=group, K=K, n_levels=n_levels),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (K // 2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (K // group, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_levels), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, data, scales, codebook.astype(jnp.float32).reshape(1, n_levels))
+    if pad_m:
+        out = out[:M]
+    return out.reshape(orig_shape[:-1] + (N,))
+
+
 @partial(jax.jit, static_argnames=("meta", "interpret"))
 def pallas_quantized_matmul(x, data, scales, zeros, meta, interpret=False):
     """y = x @ dequant(data) via the fused Pallas kernel.
@@ -132,7 +226,7 @@ def pallas_quantized_matmul(x, data, scales, zeros, meta, interpret=False):
         M *= d
     x2 = x.reshape(M, K)
 
-    pad_m = (-M) % 8
+    pad_m = (-M) % max(1, int(os.environ.get("QTPU_M_ALIGN", "8")))
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
     Mp = M + pad_m

@@ -63,7 +63,10 @@ MODULES = {
     "qtpu.serve.decode": ["prefill", "decode_step", "greedy_generate", "sample_token"],
     "qtpu.serve.batching": ["ContinuousBatcher", "Request"],
     "qtpu.kernels.dequant_matmul": ["quantized_matmul", "codebook_matmul"],
-    "qtpu.kernels.pallas_dequant_matmul": ["pallas_quantized_matmul"],
+    "qtpu.kernels.pallas_dequant_matmul": [
+        "pallas_quantized_matmul",
+        "pallas_codebook_matmul",
+    ],
     "qtpu.kernels.pallas_kv_attention": ["pallas_decode_attention"],
     "qtpu.kernels.pallas_flash_attention": ["pallas_flash_attention"],
     "qtpu.kernels.int8_matmul": ["w8a8_matmul", "quantize_activations"],

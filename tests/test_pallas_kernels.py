@@ -1,0 +1,95 @@
+"""Interpret-mode parity tests for the fused Pallas dequant kernels.
+
+These run the actual Pallas kernel bodies (interpret=True) on CPU against
+the XLA reference paths in qtpu.kernels.dequant_matmul — so the unpack
+logic, group indexing, and output-side scale/zero correction are checked
+without TPU hardware. On-device numerics are additionally covered by the
+TPU benchmark runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qtpu.core.packing import quantize_pack
+from qtpu.kernels.dequant_matmul import _codebook_matmul_ref, _quantized_matmul_ref
+from qtpu.kernels.pallas_dequant_matmul import (
+    pallas_codebook_matmul,
+    pallas_quantized_matmul,
+)
+
+K, N, M, G = 256, 256, 16, 64
+
+
+def _assert_close(out, ref):
+    o = np.asarray(out, np.float32)
+    r = np.asarray(ref, np.float32)
+    denom = np.linalg.norm(r) + 1e-6
+    rel = np.linalg.norm(o - r) / denom
+    assert rel < 2e-2, f"relative Frobenius error {rel}"
+    atol = 0.05 * (np.abs(r).max() + 1e-6)
+    np.testing.assert_allclose(o, r, atol=atol)
+
+
+
+def _rand_w(seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+@pytest.mark.parametrize("sym", [False, True])
+def test_pallas_matches_xla_ref(bits, sym):
+    w = _rand_w()
+    qt = quantize_pack(w, bits, G, symmetric=sym)
+    meta = (bits, G, K, N)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((M, K)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ref = _quantized_matmul_ref(x, qt.data, qt.scales, qt.zeros, meta)
+    out = pallas_quantized_matmul(
+        x, qt.data, qt.scales, qt.zeros, meta, interpret=True
+    )
+    _assert_close(out, ref)
+
+
+@pytest.mark.parametrize("method", ["pot", "apot"])
+def test_pallas_codebook_matches_xla_ref(method):
+    from qtpu.core.packing import pack_int4
+
+    w = _rand_w(2)
+    if method == "pot":
+        from qtpu.quant.pot import pot_codebook, pot_quantize_codes
+
+        codes, sc = pot_quantize_codes(w, 4, G, (0.5, 1.6, 0.25))
+        cb = pot_codebook(4)
+    else:
+        from qtpu.quant.apot import apot_quantize_codes
+
+        codes, sc, cb = apot_quantize_codes(w, 4, G, 2, (0.5, 1.6, 0.25))
+    data = pack_int4(codes, G)
+    scales = sc.astype(jnp.bfloat16)
+    meta = (4, G, K, N)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((M, K)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ref = _codebook_matmul_ref(x, data, scales, cb, meta)
+    out = pallas_codebook_matmul(x, data, scales, cb, meta, interpret=True)
+    _assert_close(out, ref)
+
+
+def test_pallas_odd_m_padding():
+    """M not divisible by the align quantum exercises the pad/slice path."""
+    w = _rand_w(4)
+    qt = quantize_pack(w, 4, G, symmetric=False)
+    meta = (4, G, K, N)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((3, K)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ref = _quantized_matmul_ref(x, qt.data, qt.scales, qt.zeros, meta)
+    out = pallas_quantized_matmul(
+        x, qt.data, qt.scales, qt.zeros, meta, interpret=True
+    )
+    assert out.shape == (3, N)
+    _assert_close(out, ref)

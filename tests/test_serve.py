@@ -116,6 +116,20 @@ def test_packed_generate(setup):
     assert bool(jnp.all((toks >= 0) & (toks < cfg.vocab_size)))
 
 
+def test_codebook_packed_generate(setup):
+    """Generation through the POT codebook-packed path (codebook LUT
+    matmul) produces valid tokens."""
+    cfg, params = setup
+    packed, qmeta = pack_model(
+        params, "pot", {"w_bit": 4, "q_group_size": 64, "grid_step": 0.25}
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(7), (1, 8), 0, cfg.vocab_size)
+    cache = init_cache(cfg, 1, 64)
+    toks, _ = greedy_generate(packed, prompt, cache, cfg, n_tokens=4, qmeta=qmeta)
+    assert toks.shape == (1, 4)
+    assert bool(jnp.all((toks >= 0) & (toks < cfg.vocab_size)))
+
+
 def test_continuous_batcher_matches_greedy(setup):
     """Batcher output for simultaneous greedy requests must equal the
     single-sequence cached greedy path."""
