@@ -511,7 +511,9 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
     dequant-matmul. Sites with "smooth" input vectors fuse only when the
     vectors are identical across the group (true for AWQ by construction:
     the protection comes from the shared input's importance); codebook
-    sites never fuse. Returns (fused_params, fused_qmeta)."""
+    sites fuse only when their level tables are bit-identical (true for
+    POT/APOT, whose codebook depends only on the method config).
+    Returns (fused_params, fused_qmeta)."""
     import numpy as np
 
     layers = dict(packed["layers"])
@@ -534,10 +536,7 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
 
     def fusable(names):
         parts = [layers.get(n) for n in names]
-        if not all(
-            isinstance(p, dict) and "data" in p and "codebook" not in p
-            for p in parts
-        ):
+        if not all(isinstance(p, dict) and "data" in p for p in parts):
             return False
         # identical key sets (a symmetric/asymmetric mix would silently
         # drop zeros) and identical (bits, group, K) metas
@@ -549,8 +548,10 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
             return False
         if any(meta[n][:3] != meta[names[0]][:3] for n in names[1:]):
             return False
-        return _shared_key_equal(parts, "smooth") and _shared_key_equal(
-            parts, "perm"
+        return (
+            _shared_key_equal(parts, "smooth")
+            and _shared_key_equal(parts, "perm")
+            and _shared_key_equal(parts, "codebook")
         )
 
     def fuse(names, fused_name):
@@ -558,9 +559,10 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
         fused = {
             k: jnp.concatenate([p[k] for p in parts], axis=-1)
             for k in parts[0]
-            if k not in ("smooth", "perm") and parts[0][k] is not None
+            if k not in ("smooth", "perm", "codebook")
+            and parts[0][k] is not None
         }
-        for shared in ("smooth", "perm"):
+        for shared in ("smooth", "perm", "codebook"):
             if shared in parts[0]:
                 fused[shared] = parts[0][shared]  # identical across group
         bits, g, K, _ = meta[names[0]]

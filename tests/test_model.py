@@ -236,6 +236,22 @@ def test_fused_sites_match_unfused(setup):
     assert "q_proj" in ofused["layers"]
 
 
+def test_fused_codebook_sites_match_unfused(setup):
+    """POT codebook sites share one level table, so q/k/v and gate/up fuse
+    (single codebook copy kept) and stay bit-identical to unfused."""
+    from qtpu.quant.apply import fuse_packed_sites
+
+    cfg, params, batches, stats = setup
+    mcfg = {"w_bit": 4, "q_group_size": 64, "grid_step": 0.25}
+    packed, qmeta = pack_model(params, "pot", mcfg)
+    fused, fmeta = fuse_packed_sites(packed, qmeta)
+    assert "qkv_proj" in fused["layers"] and "gateup_proj" in fused["layers"]
+    assert "codebook" in fused["layers"]["qkv_proj"]
+    a = forward(packed, batches[0], cfg, qmeta=qmeta)
+    b = forward(fused, batches[0], cfg, qmeta=fmeta)
+    assert float(jnp.abs(a - b).max()) == 0.0
+
+
 def test_packed_gptq_actorder(setup):
     """actorder packed export: codes in Hessian-diagonal order with the
     permutation applied to activations at serve time — must match the
