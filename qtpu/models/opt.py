@@ -82,6 +82,27 @@ def _collect(x, capture):
     return out
 
 
+def _qkv(h, lp, cfg: ModelConfig, qm):
+    """Q/K/V projections; a fused "qkv_proj" packed site (see
+    quant.apply.fuse_packed_sites) runs one wide matmul and splits.
+    OPT is MHA (no GQA), so the three slices are all [.., D]."""
+    B, T = h.shape[:2]
+    H, hd = cfg.num_heads, cfg.head_dim
+    D = H * hd
+    if "qkv_proj" in lp:
+        qkv = linear(h, lp["qkv_proj"], qm("qkv_proj"))
+        q, k, v = jnp.split(qkv, [D, 2 * D], axis=-1)
+    else:
+        q = linear(h, lp["q_proj"], qm("q_proj"))
+        k = linear(h, lp["k_proj"], qm("k_proj"))
+        v = linear(h, lp["v_proj"], qm("v_proj"))
+    return (
+        q.reshape(B, T, H, hd),
+        k.reshape(B, T, H, hd),
+        v.reshape(B, T, H, hd),
+    )
+
+
 def _layer_fwd(x, lp, cfg: ModelConfig, mask, capture, qmeta):
     B, S, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
@@ -91,9 +112,7 @@ def _layer_fwd(x, lp, cfg: ModelConfig, mask, capture, qmeta):
     h = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
     if capture != "none":
         stats["attn_in"] = _collect(h, capture)
-    q = linear(h, lp["q_proj"], qm("q_proj")).reshape(B, S, H, hd)
-    k = linear(h, lp["k_proj"], qm("k_proj")).reshape(B, S, H, hd)
-    v = linear(h, lp["v_proj"], qm("v_proj")).reshape(B, S, H, hd)
+    q, k, v = _qkv(h, lp, cfg, qm)
     attn = causal_attention(q, k, v, mask)
     if capture != "none":
         stats["o_in"] = _collect(attn, capture)
@@ -151,9 +170,7 @@ def _layer_fwd_cached(x, lp, layer_kv, start, mask, cfg: ModelConfig, qmeta):
     quantized = layer_kv[2] is not None
 
     h = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
-    q = linear(h, lp["q_proj"], qm("q_proj")).reshape(B, T, H, hd)
-    k = linear(h, lp["k_proj"], qm("k_proj")).reshape(B, T, H, hd)
-    v = linear(h, lp["v_proj"], qm("v_proj")).reshape(B, T, H, hd)
+    q, k, v = _qkv(h, lp, cfg, qm)
     layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
     attn = _cached_attention(q, layer_kv, mask, cfg)
     x = x + linear(attn, lp["out_proj"], qm("out_proj"))

@@ -506,8 +506,9 @@ def pack_model(
 
 def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
     """Fuse packed sites that share an input into one wider matmul
-    (llama: q/k/v → qkv_proj, gate/up → gateup_proj): 7 → 4 kernel
-    launches per layer at decode, and wider N tiles for the fused
+    (llama: q/k/v → qkv_proj and gate/up → gateup_proj, 7 → 4 kernel
+    launches per layer at decode; OPT: q/k/v → qkv_proj), with wider N
+    tiles for the fused
     dequant-matmul. Sites with "smooth" input vectors fuse only when the
     vectors are identical across the group (true for AWQ by construction:
     the protection comes from the shared input's importance); codebook
@@ -517,9 +518,18 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
     import numpy as np
 
     layers = dict(packed["layers"])
-    # structural guard (not the arch arg, which callers forget): only the
-    # llama family has o_proj + gate_proj alongside q/k/v
-    if arch != "llama" or "o_proj" not in layers or "gate_proj" not in layers:
+    # structural guards (not just the arch arg, which callers forget):
+    # llama has o_proj + gate_proj alongside q/k/v; OPT has out_proj
+    # (MHA q/k/v fuse, fc1/fc2 are sequential — nothing else to fuse);
+    # GPT-2's c_attn is already a single 3D-wide site
+    if arch == "llama" and "o_proj" in layers and "gate_proj" in layers:
+        fuse_groups = [
+            (("q_proj", "k_proj", "v_proj"), "qkv_proj"),
+            (("gate_proj", "up_proj"), "gateup_proj"),
+        ]
+    elif arch == "opt" and "out_proj" in layers and "fc1" in layers:
+        fuse_groups = [(("q_proj", "k_proj", "v_proj"), "qkv_proj")]
+    else:
         return packed, qmeta
     meta = dict(qmeta)
 
@@ -572,10 +582,9 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
         layers[fused_name] = fused
         meta[fused_name] = (bits, g, K, N)
 
-    if fusable(("q_proj", "k_proj", "v_proj")):
-        fuse(("q_proj", "k_proj", "v_proj"), "qkv_proj")
-    if fusable(("gate_proj", "up_proj")):
-        fuse(("gate_proj", "up_proj"), "gateup_proj")
+    for names, fused_name in fuse_groups:
+        if fusable(names):
+            fuse(names, fused_name)
     out = dict(packed)
     out["layers"] = layers
     return out, tuple(sorted(meta.items()))

@@ -224,8 +224,10 @@ def test_fused_sites_match_unfused(setup):
         b = forward(fused, batches[0], cfg, qmeta=fmeta)
         assert float(jnp.abs(a - b).max()) == 0.0, method
 
-    # opt structure passes through untouched even with default arch arg
+    # with the default (llama) arch arg an OPT tree passes through
+    # untouched — the structural guard, not the caller, protects it
     from qtpu.models import get_model_config
+    from qtpu.models.opt import forward as opt_forward
     from qtpu.models.opt import init_params as opt_init
 
     ocfg = get_model_config("tiny-opt-test")
@@ -234,6 +236,14 @@ def test_fused_sites_match_unfused(setup):
     ofused, _ = fuse_packed_sites(opacked, ometa)
     assert "qkv_proj" not in ofused["layers"]
     assert "q_proj" in ofused["layers"]
+
+    # with arch="opt" q/k/v fuse and stay bit-identical
+    ofused, ofmeta = fuse_packed_sites(opacked, ometa, arch="opt")
+    assert "qkv_proj" in ofused["layers"]
+    ob = jnp.clip(batches[0], 0, ocfg.vocab_size - 1)
+    a = opt_forward(opacked, ob, ocfg, qmeta=ometa)
+    b = opt_forward(ofused, ob, ocfg, qmeta=ofmeta)
+    assert float(jnp.abs(a - b).max()) == 0.0
 
 
 def test_fused_codebook_sites_match_unfused(setup):
