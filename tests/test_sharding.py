@@ -58,6 +58,41 @@ def test_sharded_packed_forward(setup):
     np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
 
 
+def test_sharded_packed_decode(setup):
+    """TP+DP serving: prefill + decode steps with sharded fused-packed
+    params must match the single-device cached path (SURVEY §5.8 — the
+    scaling story the reference lacks, applied to the serving path)."""
+    from qtpu.quant.apply import fuse_packed_sites
+    from qtpu.serve import init_cache
+    from qtpu.serve.decode import decode_step, prefill
+
+    cfg, params, ids = setup
+    packed, qmeta = pack_model(params, "rtn", {"w_bit": 4, "q_group_size": 64})
+    packed, qmeta = fuse_packed_sites(packed, qmeta)
+    prompt = ids[:4, :16]
+
+    def run(p):
+        cache = init_cache(cfg, 4, 32)
+        logits, cache = prefill(p, prompt, cache, cfg, qmeta=qmeta)
+        outs = [np.asarray(logits)]
+        tok = jnp.argmax(logits, axis=-1)
+        pos = jnp.full((4,), prompt.shape[1], jnp.int32)
+        for _ in range(3):
+            logits, cache = decode_step(p, tok, pos, cache, cfg, qmeta=qmeta)
+            outs.append(np.asarray(logits))
+            tok = jnp.argmax(logits, axis=-1)
+            pos = pos + 1
+        return outs
+
+    expect = run(packed)
+    mesh = make_mesh(data=2, model=2)
+    p_sh = shard_params(packed, mesh)
+    with jax.sharding.set_mesh(mesh):
+        got = run(p_sh)
+    for e, g in zip(expect, got):
+        np.testing.assert_allclose(g, e, rtol=2e-2, atol=2e-2)
+
+
 def test_data_parallel_calibration_stats(setup):
     """Stats from a sharded batch must equal single-device stats: the psum
     over the data axis is exact for XᵀX and mean-abs sums."""
