@@ -188,10 +188,14 @@ def quantize_model(
                 # fused prepare+sweep per layer chunk: the [L, C, C]
                 # factors (2.8 GB for a 5632² site) must never be fully
                 # materialized — chunked lax.map keeps one [chunk, C, C]
-                # factor (and, for the proxy path, builds H in-map from
-                # the tiny stat vectors) while still vmapping the column
-                # sweep within the chunk
-                from qtpu.quant.gptq import gptq_column_sweep, gptq_prepare_factor
+                # factor while still vmapping the column sweep within the
+                # chunk. Proxy-Hessian sites (tiny [S, C] stat vectors)
+                # take the O(C·S²) low-rank prepare — no H, no C³ linalg.
+                from qtpu.quant.gptq import (
+                    gptq_column_sweep,
+                    gptq_prepare_factor,
+                    gptq_prepare_factor_lowrank,
+                )
 
                 K, N = w.shape[-2], w.shape[-1]
                 chunk = max(1, min(8, int(1.5e9 // (K * K * 16 + K * N * 16))))
@@ -199,10 +203,15 @@ def quantize_model(
                 def per_layer(args):
                     if have_true_h:
                         w_kn, H = args
+                        U = gptq_prepare_factor(H, damp)
                     else:
                         w_kn, v_stats = args  # v_stats [S, C]
-                        H = build_proxy_hessian(v_stats, damp)
-                    U = gptq_prepare_factor(H, damp)
+                        if v_stats.shape[0] < K:
+                            U = gptq_prepare_factor_lowrank(v_stats, damp)
+                        else:
+                            U = gptq_prepare_factor(
+                                build_proxy_hessian(v_stats, damp), damp
+                            )
                     return gptq_column_sweep(
                         w_kn.T.astype(jnp.float32),
                         U,
@@ -221,31 +230,49 @@ def quantize_model(
                 return {"w": q}
 
             if have_true_h:
-                H_all = stats.hessian[in_site]
-            else:
-                mv = stats.mean_abs[in_site][:nsamples]  # [S, L, C] | [S, C]
-                if has_l:
-                    H_all = jax.vmap(build_proxy_hessian, in_axes=1)(mv)
-                else:
-                    H_all = build_proxy_hessian(mv)
 
-            def one(w_kn, H):
+                def one(w_kn, H):
+                    return gptq_quantize_layer(
+                        w_kn.T,
+                        H,
+                        w_bit,
+                        q_group_size=g,
+                        perp_damp=damp,
+                        blocksize=blocksize,
+                        actorder=actorder,
+                        error_compensation=True,
+                    ).T
+
+                H_all = stats.hessian[in_site]
+                if has_l:
+                    # lax.map: sequential over layers to bound C×C memory
+                    q = jax.lax.map(lambda args: one(*args), (w, H_all))
+                else:
+                    q = one(w, H_all)
+                return {"w": q}
+
+            # proxy-Hessian path: hand the stat vectors straight to the
+            # layer quantizer (low-rank prepare when S < C, actorder incl.)
+            def one_v(w_kn, v_stats):
                 return gptq_quantize_layer(
                     w_kn.T,
-                    H,
+                    None,
                     w_bit,
                     q_group_size=g,
                     perp_damp=damp,
                     blocksize=blocksize,
                     actorder=actorder,
                     error_compensation=True,
+                    stat_vectors=v_stats,
                 ).T
 
+            mv = stats.mean_abs[in_site][:nsamples]  # [S, L, C] | [S, C]
             if has_l:
-                # lax.map: sequential over layers to bound C×C memory
-                q = jax.lax.map(lambda args: one(*args), (w, H_all))
+                q = jax.lax.map(
+                    lambda args: one_v(*args), (w, jnp.swapaxes(mv, 0, 1))
+                )
             else:
-                q = one(w, H_all)
+                q = one_v(w, mv)
             return {"w": q}
 
     elif method == "smoothquant":
@@ -423,11 +450,16 @@ def pack_model(
                 mv = stats.mean_abs[in_site][:nsamples]
                 H_all = jnp.swapaxes(mv, 0, 1)
             else:
-                mv = stats.mean_abs[in_site][:nsamples]
-                H_all = build_proxy_hessian(mv, damp)
+                # [S, C] stat vectors go straight to prep() (low-rank path)
+                H_all = stats.mean_abs[in_site][:nsamples]
 
             from qtpu.core.packing import pack_int4
-            from qtpu.quant.gptq import gptq_column_sweep, gptq_prepare_factor
+            from qtpu.quant.gptq import (
+                gptq_column_sweep,
+                gptq_prepare_factor,
+                gptq_prepare_factor_lowrank,
+                proxy_hessian_diag,
+            )
 
             bs = max(int(mcfg.get("blocksize", 128)), g)
 
@@ -459,6 +491,27 @@ def pack_model(
                     out["perm"] = perm
                 return out
 
+            def prep(h_or_v, perm=None):
+                """Factor U from either a true Hessian or [S, C] stat
+                vectors (low-rank prepare when S < C), with optional
+                actorder column permutation."""
+                if have_true_h or h_or_v.shape[0] >= h_or_v.shape[1]:
+                    h = h_or_v if have_true_h else build_proxy_hessian(h_or_v, damp)
+                    if perm is not None:
+                        h = h[perm][:, perm]
+                    return gptq_prepare_factor(h, damp)
+                if perm is not None:
+                    h_or_v = h_or_v[:, perm]
+                return gptq_prepare_factor_lowrank(h_or_v, damp)
+
+            def order(h_or_v):
+                d = (
+                    jnp.diag(h_or_v.astype(jnp.float32))
+                    if have_true_h
+                    else proxy_hessian_diag(h_or_v, damp)
+                )
+                return jnp.argsort(-d)
+
             if has_l:
                 K = w.shape[-2]
                 chunk = max(
@@ -467,22 +520,18 @@ def pack_model(
                 )
                 def pack_layer(args):
                     w_kn, h = args
-                    if not have_true_h:  # [S, C] stat vectors → proxy H in-map
-                        h = build_proxy_hessian(h, damp)
                     if actorder:
-                        perm = jnp.argsort(-jnp.diag(h))
-                        h = h[perm][:, perm]
-                        return gptq_one(w_kn, gptq_prepare_factor(h, damp), perm)
-                    return gptq_one(w_kn, gptq_prepare_factor(h, damp))
+                        perm = order(h)
+                        return gptq_one(w_kn, prep(h, perm), perm)
+                    return gptq_one(w_kn, prep(h))
 
                 p = jax.lax.map(pack_layer, (w, H_all), batch_size=chunk)
             else:
                 if actorder:
-                    perm = jnp.argsort(-jnp.diag(H_all.astype(jnp.float32)))
-                    Hp = H_all[perm][:, perm]
-                    p = gptq_one(w, gptq_prepare_factor(Hp, damp), perm)
+                    perm = order(H_all)
+                    p = gptq_one(w, prep(H_all, perm), perm)
                 else:
-                    p = gptq_one(w, gptq_prepare_factor(H_all, damp))
+                    p = gptq_one(w, prep(H_all))
             metas[site] = (w_bit, g, w.shape[-2], w.shape[-1])
             return p
         else:

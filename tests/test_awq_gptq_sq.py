@@ -105,6 +105,48 @@ def test_gptq_actorder_runs(rng):
     assert q.shape == w.shape and bool(jnp.all(jnp.isfinite(q)))
 
 
+def test_gptq_lowrank_prepare_matches_dense(rng):
+    """The O(C·S²) low-rank factor must equal
+    gptq_prepare_factor(build_proxy_hessian(v)) — same U, no C×C linalg."""
+    from qtpu.quant.gptq import gptq_prepare_factor, gptq_prepare_factor_lowrank
+
+    v = jnp.abs(jax.random.normal(rng, (12, 192)))
+    U_dense = gptq_prepare_factor(build_proxy_hessian(v, 0.01), 0.01)
+    U_low = gptq_prepare_factor_lowrank(v, 0.01)
+    np.testing.assert_allclose(
+        np.asarray(U_low), np.asarray(U_dense), rtol=2e-3, atol=2e-4
+    )
+    # and UᵀU really is H⁻¹
+    H = np.asarray(build_proxy_hessian(v, 0.01), np.float64)
+    mean_diag = np.mean(np.diag(H))
+    Heff = H + (0.01 * mean_diag + 1e-8) * np.eye(H.shape[0])
+    Ul = np.asarray(U_low, np.float64)
+    np.testing.assert_allclose(
+        Ul.T @ Ul, np.linalg.inv(Heff), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_gptq_lowrank_layer_matches_dense(rng):
+    """End-to-end layer quantization via stat_vectors (low-rank path) must
+    match the dense-Hessian path, actorder on and off."""
+    k1, k2 = jax.random.split(rng)
+    w = _w(k1, (64, 128))
+    v = jnp.abs(jax.random.normal(k2, (8, 128)))
+    H = build_proxy_hessian(v, 0.01)
+    for actorder in (False, True):
+        q_dense = gptq_quantize_layer(
+            w, H, 4, q_group_size=64, blocksize=64,
+            actorder=actorder, error_compensation=True,
+        )
+        q_low = gptq_quantize_layer(
+            w, None, 4, q_group_size=64, blocksize=64,
+            actorder=actorder, error_compensation=True, stat_vectors=v,
+        )
+        np.testing.assert_allclose(
+            np.asarray(q_low), np.asarray(q_dense), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_smooth_weights_equivalence(rng):
     """y = (W/s) @ (s·x) must equal W @ x (smooth_quant_quantizer.py:11-16)."""
     k1, k2, k3 = jax.random.split(rng, 3)
