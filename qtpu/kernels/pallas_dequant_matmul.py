@@ -35,10 +35,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# nibble-unpack strategy (see kernel body). Measured on v5e: the i32
-# shift/mask chain beats the f32 floor-arithmetic variant (1750 vs 1634
-# decode tokens/s) — sitofp+floor are not cheaper than shifts here. Flip
-# with QTPU_F32_UNPACK=1 to re-measure on other hardware.
+# nibble-unpack strategy (see kernel body). Default is split-dots: one
+# MXU dot per packed bit-field, no concatenate — measured ~3× faster than
+# the concat+single-dot i32 chain at wide-N decode shapes on v5e (which
+# itself beat the f32 floor-arithmetic variant, 1750 vs 1634 decode
+# tokens/s). Flip with QTPU_F32_UNPACK=1 to re-measure the f32 variant on
+# other hardware.
 _F32_UNPACK = os.environ.get("QTPU_F32_UNPACK", "0") == "1"
 
 
@@ -56,42 +58,64 @@ def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
     acc = None
     for c in range(n_groups):  # static unroll; all indices static
         s = s_ref[c, :][None, :].astype(jnp.float32)  # [1, bn]
-        if bits == 2:
-            packed = d_ref[c * (group // 4) : (c + 1) * (group // 4), :]
-            pu = packed.astype(jnp.int32) & 0xFF
-            q = jnp.concatenate(
-                [
-                    jax.lax.shift_right_arithmetic(pu, 2 * i) & 0x3
-                    for i in range(4)
-                ],
-                axis=0,
-            )  # [group, bn] in [0,3] (group-quarters layout)
-        elif bits == 4:
-            packed = d_ref[c * (group // 2) : (c + 1) * (group // 2), :]
-            if _F32_UNPACK:
-                # f32-arithmetic unpack: one sitofp then float ops — fewer
-                # VPU ops than the i32 shift/mask chain on this backend
+        xg = x[:, c * group : (c + 1) * group]
+        if bits in (2, 4) and not _F32_UNPACK:
+            # Split-dot unpack: one MXU dot per bit-field instead of
+            # concatenating unpacked fields into one [group, bn] operand.
+            # The concatenate was pure VPU copy work, and the low field
+            # needs no 0xFF un-signing (sign-extension preserves low bits;
+            # for the top field sra-then-mask is sign-correct). Measured
+            # 25.1 → 8.8 µs (459 → >1300 GB/s effective) at the decode
+            # gate/up site [8, 2048]×[2048, 11264] on v5e vs the
+            # concat+single-dot chain. Same math: each dot accumulates
+            # f32; only the f32 add order across fields differs.
+            n_sub = 8 // bits
+            h = group // n_sub
+            mask = (1 << bits) - 1
+            lo = c * (group // n_sub)
+            pu = d_ref[lo : lo + group // n_sub, :].astype(jnp.int32)
+            part = None
+            for i in range(n_sub):  # field i = rows [i·h, (i+1)·h)
+                codes = (
+                    jax.lax.shift_right_arithmetic(pu, bits * i) & mask
+                    if i
+                    else pu & mask
+                )
+                p = jnp.dot(
+                    xg[:, i * h : (i + 1) * h],
+                    codes.astype(x.dtype),  # ≤8-bit codes exact in bf16
+                    preferred_element_type=jnp.float32,
+                )
+                part = p if part is None else part + p
+        else:
+            if bits == 4:
+                packed = d_ref[c * (group // 2) : (c + 1) * (group // 2), :]
+                # f32-arithmetic unpack: one sitofp then float ops — kept
+                # as a measurable alternative (QTPU_F32_UNPACK=1); slower
+                # than split-dots on v5e
                 f = packed.astype(jnp.float32)
                 u = jnp.where(f < 0, f + 256.0, f)  # undo int8 sign
                 hi = jnp.floor(u * (1.0 / 16.0))
                 lo = u - 16.0 * hi
                 q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] f32
-            else:
-                # i32 unpack: Mosaic has no u8 shifts (arith.shrui on i8
-                # fails to legalize); & 0xFF undoes the int8 sign first
+            elif bits == 2:
+                packed = d_ref[c * (group // 4) : (c + 1) * (group // 4), :]
                 pu = packed.astype(jnp.int32) & 0xFF
-                lo = pu & 0xF
-                hi = jax.lax.shift_right_arithmetic(pu, 4) & 0xF
-                q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] in [0,15]
-        else:
-            q = d_ref[c * group : (c + 1) * group, :].astype(jnp.int32) + 128
+                q = jnp.concatenate(
+                    [
+                        jax.lax.shift_right_arithmetic(pu, 2 * i) & 0x3
+                        for i in range(4)
+                    ],
+                    axis=0,
+                )  # [group, bn] in [0,3] (group-quarters layout)
+            else:
+                q = d_ref[c * group : (c + 1) * group, :].astype(jnp.int32) + 128
+            qf = q.astype(x.dtype)  # integer codes, exact in bf16 for ≤8 bits
+            part = jnp.dot(xg, qf, preferred_element_type=jnp.float32)
         if z_ref is not None:
             z = z_ref[c, :][None, :].astype(jnp.int32).astype(jnp.float32)
         else:
             z = float(2 ** (bits - 1))
-        qf = q.astype(x.dtype)  # integer codes, exact in bf16 for ≤8 bits
-        xg = x[:, c * group : (c + 1) * group]
-        part = jnp.dot(xg, qf, preferred_element_type=jnp.float32)
         sum_x = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
         part = part * s - (sum_x * z) * s
         acc = part if acc is None else acc + part

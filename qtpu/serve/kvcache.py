@@ -105,6 +105,24 @@ def cache_layer_write(layer_kv, new_k, new_v, start: jnp.ndarray, quantized: boo
     if jnp.ndim(start) == 0:
         start = jnp.full((k_c.shape[0],), start, jnp.int32)
 
+    T = write_k.shape[2]
+    if T == 1:
+        # Decode hot path: a vmapped dynamic_update_slice with per-sequence
+        # starts lowers to an XLA scatter — measured 68 µs/layer on v5e
+        # (the LARGEST per-layer cost of a decode step, above attention and
+        # all four packed matmuls combined). A masked select writes the one
+        # new row as a fused elementwise pass over the cache instead
+        # (positions ≥ S silently don't write; serving sizes the cache so
+        # live positions are always < S).
+        hit = jnp.arange(k_c.shape[2])[None, :] == start[:, None]  # [B, S]
+        row = hit[:, None, :, None]
+        k_c = jnp.where(row, write_k, k_c)
+        v_c = jnp.where(row, write_v, v_c)
+        if quantized:
+            ks_c = jnp.where(hit[:, None, :], sk, ks_c)
+            vs_c = jnp.where(hit[:, None, :], sv, vs_c)
+        return k_c, v_c, ks_c, vs_c
+
     def wr(c, w, s):  # c [KV, S, ...], w [KV, T, ...]
         return jax.lax.dynamic_update_slice_in_dim(c, w, s, axis=1)
 
