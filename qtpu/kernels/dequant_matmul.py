@@ -66,6 +66,29 @@ def quantized_matmul(x, data, scales, zeros, meta):
     return _quantized_matmul_ref(x, data, scales, zeros, meta)
 
 
+def quantized_matmul_stacked(x, data, scales, zeros, meta, layer):
+    """y = x @ dequant(data[layer]) with STACKED per-layer weights
+    [L, ...] and a traced layer index — on TPU the Pallas kernel indexes
+    the stacked arrays via scalar prefetch so a `lax.scan` over layers
+    never materializes per-layer weight copies (the xs-slicing such a scan
+    would otherwise do costs more HBM traffic than the matmul itself at
+    decode shapes). Fallback: dynamic-slice the layer, reference path."""
+    if jax.default_backend() == "tpu":
+        try:
+            from qtpu.kernels.pallas_dequant_matmul import (
+                pallas_quantized_matmul_stacked,
+            )
+
+            return pallas_quantized_matmul_stacked(
+                x, data, scales, zeros, meta, layer
+            )
+        except NotImplementedError:
+            pass
+    return _quantized_matmul_ref(
+        x, data[layer], scales[layer], None if zeros is None else zeros[layer], meta
+    )
+
+
 def codebook_matmul(x, data, scales, codebook, meta):
     """y = x @ (scales ∘ codebook[codes]) for POT/APOT codebook-packed
     weights. data: int4-packed codes (group-halves); scales [K/g, N];

@@ -45,6 +45,20 @@ _F32_UNPACK = os.environ.get("QTPU_F32_UNPACK", "0") == "1"
 
 
 def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
+    # Unpack strategy by output-tile height: split-dots keep the VPU chain
+    # minimal but halve (W4) / quarter (W2) the MXU contraction dim — free
+    # when the MXU is starved anyway (decode, bm ≤ 32), a ~25% prefill hit
+    # when it isn't (measured 29.5k → 22.2k prefill tokens/s at S=2048).
+    split_dots = x_ref.shape[0] <= 32
+    _dq_matmul_body(
+        x_ref, d_ref, s_ref, z_ref, o_ref,
+        bits=bits, group=group, K=K, split_dots=split_dots,
+    )
+
+
+def _dq_matmul_body(
+    x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K, split_dots
+):
     """Per (i, j) program: y = Σ_groups s∘(x_g @ q_g) − s∘z∘Σ(x_g).
 
     The scale/zero corrections act on the [bm, bn] OUTPUT tile instead of
@@ -59,7 +73,7 @@ def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
     for c in range(n_groups):  # static unroll; all indices static
         s = s_ref[c, :][None, :].astype(jnp.float32)  # [1, bn]
         xg = x[:, c * group : (c + 1) * group]
-        if bits in (2, 4) and not _F32_UNPACK:
+        if bits in (2, 4) and split_dots and not _F32_UNPACK:
             # Split-dot unpack: one MXU dot per bit-field instead of
             # concatenating unpacked fields into one [group, bn] operand.
             # The concatenate was pure VPU copy work, and the low field
@@ -88,7 +102,7 @@ def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
                 )
                 part = p if part is None else part + p
         else:
-            if bits == 4:
+            if bits == 4 and _F32_UNPACK:
                 packed = d_ref[c * (group // 2) : (c + 1) * (group // 2), :]
                 # f32-arithmetic unpack: one sitofp then float ops — kept
                 # as a measurable alternative (QTPU_F32_UNPACK=1); slower
@@ -98,6 +112,14 @@ def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
                 hi = jnp.floor(u * (1.0 / 16.0))
                 lo = u - 16.0 * hi
                 q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] f32
+            elif bits == 4:
+                # concat chain: full-group contraction feeds the MXU
+                pu = d_ref[
+                    c * (group // 2) : (c + 1) * (group // 2), :
+                ].astype(jnp.int32) & 0xFF
+                lo = pu & 0xF
+                hi = jax.lax.shift_right_arithmetic(pu, 4) & 0xF
+                q = jnp.concatenate([lo, hi], axis=0)  # [group, bn]
             elif bits == 2:
                 packed = d_ref[c * (group // 4) : (c + 1) * (group // 4), :]
                 pu = packed.astype(jnp.int32) & 0xFF
@@ -228,6 +250,85 @@ def pallas_codebook_matmul(x, data, scales, codebook, meta, interpret=False):
         ),
         interpret=interpret,
     )(x2, data, scales, codebook.astype(jnp.float32).reshape(1, n_levels))
+    if pad_m:
+        out = out[:M]
+    return out.reshape(orig_shape[:-1] + (N,))
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def pallas_quantized_matmul_stacked(x, data, scales, zeros, meta, layer):
+    """y = x @ dequant(data[layer]) reading blocks straight from the
+    STACKED [L, ...] arrays via scalar-prefetch indexing.
+
+    Inside a `lax.scan` over layers, passing per-layer weight slices as
+    scan xs makes XLA materialize a copy of every layer's packed weights
+    before the kernel can read them — for a 1.1B W4 model that is ~25 MB
+    of extra read+write traffic per layer per decode step, measured as
+    the dominant per-layer cost (~2× the matmul kernels themselves). Here
+    the layer index is a prefetched SMEM scalar and every BlockSpec
+    index_map addresses dimension 0 of the stacked array directly, so the
+    kernel DMAs exactly the blocks it needs from HBM and nothing is
+    copied. x: [..., K]; data [L, Kp, N]; scales/zeros [L, K/g, N];
+    layer: traced int32 scalar."""
+    bits, group, K, N = meta
+    if group <= 0 or group % 4 != 0 or K % group != 0:
+        raise NotImplementedError("pallas path needs group % 4 == 0 | K")
+    orig_shape = x.shape
+    M = 1
+    for d in orig_shape[:-1]:
+        M *= d
+    x2 = x.reshape(M, K)
+    pad_m = (-M) % max(1, int(os.environ.get("QTPU_M_ALIGN", "8")))
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    bm, bn = _choose_blocks(Mp, K, N)
+    if Mp % bm or N % bn:
+        raise NotImplementedError("shapes do not tile")
+    Kp = K // (8 // bits) if bits in (2, 4) else K
+    G = K // group
+
+    grid = (Mp // bm, N // bn)
+    in_specs = [
+        pl.BlockSpec((bm, K), lambda i, j, l: (i, 0)),
+        pl.BlockSpec((None, Kp, bn), lambda i, j, l: (l[0], 0, j)),
+        pl.BlockSpec((None, G, bn), lambda i, j, l: (l[0], 0, j)),
+    ]
+    args = [x2, data, scales]
+    has_zeros = zeros is not None
+    if has_zeros:
+        in_specs.append(pl.BlockSpec((None, G, bn), lambda i, j, l: (l[0], 0, j)))
+        args.append(zeros)
+
+    def kernel(l_ref, *refs):
+        if has_zeros:
+            x_ref, d_ref, s_ref, z_ref, o_ref = refs
+        else:
+            x_ref, d_ref, s_ref, o_ref = refs
+            z_ref = None
+        _dq_matmul_kernel(
+            x_ref, d_ref, s_ref, z_ref, o_ref, bits=bits, group=group, K=K
+        )
+
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N * bits // 8 + Mp * N * 2,
+            transcendentals=0,
+        ),
+    )(lidx, *args)
     if pad_m:
         out = out[:M]
     return out.reshape(orig_shape[:-1] + (N,))

@@ -133,18 +133,19 @@ def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     return x, (stats if capture != "none" else None)
 
 
-def _qkv(h, lp, cfg: ModelConfig, qm):
+def _qkv(h, lp, cfg: ModelConfig, qm, layer=None):
     """Q/K/V projections; a fused "qkv_proj" packed site (see
-    quant.apply.fuse_packed_sites) runs one wide matmul and splits."""
+    quant.apply.fuse_packed_sites) runs one wide matmul and splits.
+    layer: stacked-params index (see ops.linear)."""
     B, T = h.shape[:2]
     Q, KV = cfg.q_dim, cfg.kv_dim
     if "qkv_proj" in lp:
-        qkv = linear(h, lp["qkv_proj"], qm("qkv_proj"))
+        qkv = linear(h, lp["qkv_proj"], qm("qkv_proj"), layer=layer)
         q, k, v = jnp.split(qkv, [Q, Q + KV], axis=-1)
     else:
-        q = linear(h, lp["q_proj"], qm("q_proj"))
-        k = linear(h, lp["k_proj"], qm("k_proj"))
-        v = linear(h, lp["v_proj"], qm("v_proj"))
+        q = linear(h, lp["q_proj"], qm("q_proj"), layer=layer)
+        k = linear(h, lp["k_proj"], qm("k_proj"), layer=layer)
+        v = linear(h, lp["v_proj"], qm("v_proj"), layer=layer)
     return (
         q.reshape(B, T, cfg.num_heads, cfg.head_dim),
         k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim),
@@ -152,12 +153,12 @@ def _qkv(h, lp, cfg: ModelConfig, qm):
     )
 
 
-def _gate_up(h, lp, cfg: ModelConfig, qm):
+def _gate_up(h, lp, cfg: ModelConfig, qm, layer=None):
     if "gateup_proj" in lp:
-        gu = linear(h, lp["gateup_proj"], qm("gateup_proj"))
+        gu = linear(h, lp["gateup_proj"], qm("gateup_proj"), layer=layer)
         return jnp.split(gu, [cfg.intermediate_size], axis=-1)
-    return linear(h, lp["gate_proj"], qm("gate_proj")), linear(
-        h, lp["up_proj"], qm("up_proj")
+    return linear(h, lp["gate_proj"], qm("gate_proj"), layer=layer), linear(
+        h, lp["up_proj"], qm("up_proj"), layer=layer
     )
 
 
@@ -167,6 +168,25 @@ def _collect(x, capture: str):
     if capture == "hessian":
         out["hessian"] = input_hessian(x)
     return out
+
+
+def _use_stacked_weights(layers, L: int) -> bool:
+    """Decode weight-delivery policy (see _layer_fwd_cached): xs staging
+    while one layer's weights double-buffer in VMEM (≤ ~half of v5e's
+    128 MB), scalar-prefetch stacked kernels beyond. QTPU_STACKED_WEIGHTS
+    overrides (1/0)."""
+    import os
+
+    env = os.environ.get("QTPU_STACKED_WEIGHTS")
+    if env is not None:
+        return env == "1"
+    per_layer = sum(
+        a.nbytes
+        for site in layers.values()
+        if isinstance(site, dict)
+        for a in jax.tree_util.tree_leaves(site)
+    ) // max(L, 1)
+    return per_layer > 56 * 1024 * 1024
 
 
 def _cached_attention(q, layer_kv, mask, cfg: ModelConfig):
@@ -219,28 +239,42 @@ def _cached_attention(q, layer_kv, mask, cfg: ModelConfig):
     return out.reshape(B, T, H * hd)
 
 
-def _layer_fwd_cached(x, lp, layer_kv, start, rope, mask, cfg: ModelConfig, qmeta):
-    """One decoder layer with KV-cache read/write. start: [B] write offsets
-    (each sequence's current length). Returns (x_out, updated layer_kv)."""
+def _layer_fwd_cached(
+    x, layers, l, norms, layer_kv, start, rope, mask, cfg: ModelConfig, qmeta
+):
+    """One decoder layer with KV-cache read/write.
+
+    Two weight-delivery modes (chosen by forward_with_cache):
+    - l is None: `layers` is THIS layer's already-sliced params (scan xs).
+      XLA stages each layer's weights in VMEM one scan iteration ahead, so
+      the matmul kernels read at VMEM speed — fastest whenever a layer's
+      packed weights fit comfortably in VMEM (measured best for 1B-class).
+    - l is a traced index: `layers` is the full STACKED params dict and
+      weights are read through scalar-prefetch kernels (ops.linear) —
+      no staging copy at all, required when per-layer weights are too big
+      to double-buffer in VMEM (7B-class and up).
+    norms: this layer's (attn_norm, mlp_norm) rows.
+    start: [B] write offsets. Returns (x_out, updated layer_kv)."""
     from qtpu.serve.kvcache import cache_layer_write
 
+    attn_norm, mlp_norm = norms
     cos, sin = rope
     B, T, D = x.shape
     qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
     quantized = layer_kv[2] is not None
 
-    h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-    q, k, v = _qkv(h, lp, cfg, qm)
+    h = rms_norm(x, attn_norm, cfg.norm_eps)
+    q, k, v = _qkv(h, layers, cfg, qm, layer=l)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
     attn = _cached_attention(q, layer_kv, mask, cfg)
-    x = x + linear(attn, lp["o_proj"], qm("o_proj"))
+    x = x + linear(attn, layers["o_proj"], qm("o_proj"), layer=l)
 
-    h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-    gate, up = _gate_up(h, lp, cfg, qm)
+    h = rms_norm(x, mlp_norm, cfg.norm_eps)
+    gate, up = _gate_up(h, layers, cfg, qm, layer=l)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    x = x + linear(act, lp["down_proj"], qm("down_proj"))
+    x = x + linear(act, layers["down_proj"], qm("down_proj"), layer=l)
     return x, layer_kv
 
 
@@ -266,16 +300,35 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
     mask = kpos[None, None, :] <= positions[:, :, None]  # [B, T, S]
     start = positions[:, 0]
 
-    def body(x, xs):
-        lp, kc, vc, ksc, vsc = xs
-        x, layer_kv = _layer_fwd_cached(
-            x, lp, (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d
-        )
-        return x, layer_kv
+    layers = params["layers"]
+    L = cache.k.shape[0]
+    cache_xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    if _use_stacked_weights(layers, L):
+        def body(x, xs):
+            l, an, mn, kc, vc, ksc, vsc = xs
+            x, layer_kv = _layer_fwd_cached(
+                x, layers, l, (an, mn), (kc, vc, ksc, vsc), start, rope,
+                mask, cfg, qmeta_d,
+            )
+            return x, layer_kv
 
-    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
-    )
+        xs = (
+            jnp.arange(L, dtype=jnp.int32),
+            layers["attn_norm"],
+            layers["mlp_norm"],
+        ) + cache_xs
+    else:
+        def body(x, xs):
+            lp, kc, vc, ksc, vsc = xs
+            x, layer_kv = _layer_fwd_cached(
+                x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
+                (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d,
+            )
+            return x, layer_kv
+
+        xs = (layers,) + cache_xs
+
+    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     qmh = None if qmeta_d is None else qmeta_d.get("lm_head")
     logits = linear(x, params["lm_head"], qmh).astype(jnp.float32)

@@ -58,12 +58,37 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     )
 
 
-def linear(x: jnp.ndarray, p: dict, site_meta=None) -> jnp.ndarray:
+def linear(x: jnp.ndarray, p: dict, site_meta=None, layer=None) -> jnp.ndarray:
     """Quantization-aware linear: y = maybe_smooth(x) @ W.
 
     p: {"w": [K, N]} dense, or packed {"data", "scales", "zeros"(opt)} with
     site_meta = (bits, group_size, K, N); either may carry "smooth": [K].
+
+    layer: traced int32 index selecting one layer from STACKED [L, ...]
+    params. For packed affine sites this takes the scalar-prefetch Pallas
+    path (no per-layer weight copy inside a layers scan); every other
+    variant dynamic-slices its (much smaller or less hot) leaves.
     """
+    if layer is not None:
+        if (
+            "w" not in p
+            and "codebook" not in p
+            and "perm" not in p
+            and not (site_meta is not None and len(site_meta) == 5)
+        ):
+            if "smooth" in p:
+                x = x * p["smooth"][layer].astype(x.dtype)
+            from qtpu.kernels.dequant_matmul import quantized_matmul_stacked
+
+            y = quantized_matmul_stacked(
+                x, p["data"], p["scales"], p.get("zeros"), site_meta, layer
+            )
+            if "b" in p:
+                y = y + p["b"][layer].astype(y.dtype)
+            return y
+        # non-hot variants: slice this layer's leaves, reuse the 2D path
+        p = jax.tree_util.tree_map(lambda a: a[layer], p)
+
     if "smooth" in p:
         x = x * p["smooth"].astype(x.dtype)
     if "perm" in p:
