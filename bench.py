@@ -122,7 +122,7 @@ def _decode_time_per_token(params, cfg, qmeta, B, prompt_len, n_small, n_large):
 
     run(n_small)  # compile prefill + decode programs
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # relay timing jitter is ±10%; take best-of-3
         t_small = run(n_small)
         t_large = run(n_large)
         best = min(best, (t_large - t_small) / (n_large - n_small))

@@ -108,6 +108,12 @@ def main():
         prefill_tps(packed, qmeta, cfg, B=2, S=2048), 1
     )
     flush()
+    # large-batch decode: weight streaming amortizes over the batch — the
+    # serving-throughput operating point (vs the latency point at B=8)
+    out["tinyllama_w4_decode_tokens_per_s_b32"] = round(
+        decode_tps(packed, qmeta, cfg, B=32, P=128, n_small=2, n_large=50), 1
+    )
+    flush()
     return 0
 
 
