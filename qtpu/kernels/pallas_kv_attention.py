@@ -26,32 +26,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
+def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, kb):
+    """One program: `kb` kv-heads of one sequence (statically unrolled).
+
+    Grid-step overhead is ~0.5 µs on v5e; at MHA head counts a
+    per-(sequence, head) grid pays it 256× per layer (measured
+    132 µs/layer for Llama-2-7B decode attention, ~10× the actual
+    HBM/MXU work). Blocking kv-heads into one program amortizes it while
+    keeping each head's [G, S] score tile MXU-shaped."""
     b = pl.program_id(0)
     G, hd = q_ref.shape[2], q_ref.shape[3]
     S = k_ref.shape[2]
-
-    q = q_ref[0, 0].astype(jnp.float32)  # [G, hd]
-    k = k_ref[0, 0].astype(jnp.float32)  # [S, hd] (int8 → f32)
-    ks = ks_ref[0, 0, :, 0].astype(jnp.float32)  # [S] (scales fed as [..,S,1])
-
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [G, S]
-    scores = scores * ks[None, :] / jnp.sqrt(float(hd))
-
     pos = pos_ref[b]
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-    scores = jnp.where(s_idx <= pos, scores, -1e30)
+    for j in range(kb):  # static unroll over the kv-head block
+        q = q_ref[0, j].astype(jnp.float32)  # [G, hd]
+        k = k_ref[0, j].astype(jnp.float32)  # [S, hd] (int8 → f32)
+        ks = ks_ref[0, j, :, 0].astype(jnp.float32)  # [S] (fed as [..,S,1])
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G, S]
+        scores = scores * ks[None, :] / jnp.sqrt(float(hd))
+        scores = jnp.where(s_idx <= pos, scores, -1e30)
 
-    vs = vs_ref[0, 0, :, 0].astype(jnp.float32)  # [S]
-    v = v_ref[0, 0].astype(jnp.float32)  # [S, hd]
-    out = jnp.dot(p * vs[None, :], v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
+
+        vs = vs_ref[0, j, :, 0].astype(jnp.float32)  # [S]
+        v = v_ref[0, j].astype(jnp.float32)  # [S, hd]
+        out = jnp.dot(p * vs[None, :], v, preferred_element_type=jnp.float32)
+        o_ref[0, j] = out.astype(o_ref.dtype)
 
 
 @partial(jax.jit)
@@ -65,35 +71,41 @@ def pallas_decode_attention(q, k_c, v_c, ks_c, vs_c, pos):
     G = H // KV
     q4 = q.reshape(B, KV, G, hd)
 
+    # kv-head block: as many heads per program as keep the K+V block under
+    # ~4 MB of VMEM (pipelinable), rounded down to a divisor of KV
+    kb = max(1, min(KV, (4 * 1024 * 1024) // (2 * S * hd)))
+    while KV % kb:
+        kb -= 1
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, KV),
+        grid=(B, KV // kb),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, G, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, kb, G, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, S, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, kb, S, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, S, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, kb, S, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
-            # scales as [B, KV, S, 1]: a (1, 1, S) block would put the
-            # 1-wide KV slice in the sublane position, below the tile floor
+            # scales as [B, KV, S, 1]: a (1, kb, S) block would put the
+            # kb-wide KV slice in the sublane position, below the tile floor
             pl.BlockSpec(
-                (1, 1, S, 1), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, kb, S, 1), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, S, 1), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, kb, S, 1), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
+            (1, kb, G, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
     )
 
     out = pl.pallas_call(
-        _decode_attn_kernel,
+        partial(_decode_attn_kernel, kb=kb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
     )(pos.astype(jnp.int32), q4, k_c, v_c, ks_c[..., None], vs_c[..., None])
