@@ -255,8 +255,8 @@ def pallas_codebook_matmul(x, data, scales, codebook, meta, interpret=False):
     return out.reshape(orig_shape[:-1] + (N,))
 
 
-@partial(jax.jit, static_argnames=("meta",))
-def pallas_quantized_matmul_stacked(x, data, scales, zeros, meta, layer):
+@partial(jax.jit, static_argnames=("meta", "interpret"))
+def pallas_quantized_matmul_stacked(x, data, scales, zeros, meta, layer, interpret=False):
     """y = x @ dequant(data[layer]) reading blocks straight from the
     STACKED [L, ...] arrays via scalar-prefetch indexing.
 
@@ -328,6 +328,7 @@ def pallas_quantized_matmul_stacked(x, data, scales, zeros, meta, layer):
             bytes_accessed=Mp * K * 2 + K * N * bits // 8 + Mp * N * 2,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(lidx, *args)
     if pad_m:
         out = out[:M]

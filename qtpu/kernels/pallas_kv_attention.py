@@ -60,8 +60,8 @@ def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, 
         o_ref[0, j] = out.astype(o_ref.dtype)
 
 
-@partial(jax.jit)
-def pallas_decode_attention(q, k_c, v_c, ks_c, vs_c, pos):
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_decode_attention(q, k_c, v_c, ks_c, vs_c, pos, interpret=False):
     """q [B, H, hd]; k_c/v_c [B, KV, S, hd] int8; ks_c/vs_c [B, KV, S] f32;
     pos [B] (attend keys ≤ pos). Returns [B, H, hd] in q.dtype."""
     B, H, hd = q.shape
@@ -108,5 +108,6 @@ def pallas_decode_attention(q, k_c, v_c, ks_c, vs_c, pos):
         partial(_decode_attn_kernel, kb=kb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+        interpret=interpret,
     )(pos.astype(jnp.int32), q4, k_c, v_c, ks_c[..., None], vs_c[..., None])
     return out.reshape(B, H, hd)

@@ -93,3 +93,65 @@ def test_pallas_odd_m_padding():
     )
     assert out.shape == (3, N)
     _assert_close(out, ref)
+
+
+def test_pallas_stacked_matches_sliced():
+    """Scalar-prefetch stacked kernel == 2D kernel on each layer slice."""
+    import jax
+
+    from qtpu.kernels.pallas_dequant_matmul import (
+        pallas_quantized_matmul,
+        pallas_quantized_matmul_stacked,
+    )
+
+    L, M, K, N, g = 3, 8, 256, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = jax.random.normal(ks[0], (M, K), jnp.bfloat16)
+    data = jax.random.randint(ks[1], (L, K // 2, N), -128, 128, jnp.int8)
+    scales = (jax.random.uniform(ks[2], (L, K // g, N)) * 0.01 + 1e-3).astype(
+        jnp.bfloat16
+    )
+    zeros = jax.random.randint(ks[3], (L, K // g, N), 0, 16, jnp.uint8)
+    meta = (4, g, K, N)
+    for l in range(L):
+        got = pallas_quantized_matmul_stacked(
+            x, data, scales, zeros, meta, jnp.int32(l), interpret=True
+        )
+        want = pallas_quantized_matmul(
+            x, data[l], scales[l], zeros[l], meta, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("KV", [4, 16])  # GQA and MHA-ish head counts
+def test_pallas_decode_attention_matches_xla(KV):
+    """Blocked-kv-head decode attention kernel == XLA reference math
+    (per-sequence causal positions, int8 KV with per-position scales)."""
+    import jax
+
+    from qtpu.kernels.pallas_kv_attention import pallas_decode_attention
+
+    B, H, hd, S = 4, 16, 64, 64
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.bfloat16)
+    kc = jax.random.randint(ks[1], (B, KV, S, hd), -127, 128, jnp.int8)
+    vc = jax.random.randint(ks[2], (B, KV, S, hd), -127, 128, jnp.int8)
+    ksc = (jax.random.uniform(ks[3], (B, KV, S)) * 0.05 + 0.01).astype(jnp.float32)
+    vsc = (jax.random.uniform(ks[4], (B, KV, S)) * 0.05 + 0.01).astype(jnp.float32)
+    pos = jnp.asarray([5, 17, 40, S - 1], jnp.int32)
+
+    got = pallas_decode_attention(q, kc, vc, ksc, vsc, pos, interpret=True)
+
+    # XLA reference (the _cached_attention fallback math)
+    G = H // KV
+    qf = q.astype(jnp.float32).reshape(B, KV, G, hd)
+    K = kc.astype(jnp.float32) * ksc[..., None]
+    V = vc.astype(jnp.float32) * vsc[..., None]
+    scores = jnp.einsum("bkgd,bksd->bkgs", qf, K) / jnp.sqrt(float(hd))
+    mask = jnp.arange(S)[None, :] <= pos[:, None]  # [B, S]
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    want = jnp.einsum("bkgs,bksd->bkgd", p, V).reshape(B, H, hd)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
