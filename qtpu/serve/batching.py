@@ -5,8 +5,9 @@ vLLM-style slot scheduler, TPU-shaped: a FIXED max_batch of sequence slots
 so every jitted program has static shapes. Sequences join mid-flight (their
 prompt is prefilled into a free slot while other slots keep decoding), emit
 one token per engine step, and free their slot on EOS/max-tokens. Host-side
-Python does only bookkeeping and per-request sampling; prefill and the
-batched decode step are the two jitted programs.
+Python does only bookkeeping; sampling runs on device (per-slot
+temperature) so only sampled token ids cross the host link. Prefill, the
+batched decode step, and batched sampling are the jitted programs.
 
 Prompt lengths are padded to pow-2 buckets to bound compiled-shape count.
 Padding is safe without masked writes: the pad positions' garbage K/V at
@@ -65,14 +66,18 @@ def _bucket(n: int) -> int:
     return b
 
 
-def _host_sample(logits_row: np.ndarray, temperature: float, rng) -> int:
-    if temperature <= 0.0:
-        return int(np.argmax(logits_row))
-    z = logits_row.astype(np.float64) / temperature
-    z -= z.max()
-    p = np.exp(z)
-    p /= p.sum()
-    return int(rng.choice(len(p), p=p))
+@jax.jit
+def _sample_batch(logits, temps, key):
+    """Device-side per-slot sampling: greedy where temps ≤ 0, else
+    categorical at that slot's temperature. Returns [B] int32.
+
+    Sampling on device matters on relay-attached TPUs: shipping the full
+    [B, vocab] logits to the host costs ~1 MB per engine step (≈77 ms at
+    the measured 13 MB/s host link) vs 4 bytes/slot for sampled ids."""
+    greedy = jnp.argmax(logits, axis=-1)
+    z = logits / jnp.maximum(temps, 1e-6)[:, None]
+    samp = jax.random.categorical(key, z, axis=-1)
+    return jnp.where(temps > 0.0, samp, greedy).astype(jnp.int32)
 
 
 class ContinuousBatcher:
@@ -100,8 +105,12 @@ class ContinuousBatcher:
         self.slots: list[Request | None] = [None] * max_batch
         self.queue: list[Request] = []
         self.finished: list[Request] = []
-        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
         self._uid = 0
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
 
     # ----------------------------------------------------------- client API
     def submit(self, prompt_ids, max_new_tokens: int = 64, temperature: float = 0.0):
@@ -172,8 +181,12 @@ class ContinuousBatcher:
                 arch=self.arch,
             )
             self._write_slot_cache(i, slot_cache)
-            first = _host_sample(
-                np.asarray(logits[0, T - 1]), req.temperature, self.rng
+            first = int(
+                _sample_batch(
+                    logits[:, T - 1],
+                    jnp.full((1,), req.temperature, jnp.float32),
+                    self._next_key(),
+                )[0]
             )
             req.output.append(first)
             req.first_token_at = time.perf_counter()
@@ -187,10 +200,12 @@ class ContinuousBatcher:
             return
         tokens = np.zeros((self.max_batch,), np.int32)
         pos = np.zeros((self.max_batch,), np.int32)
+        temps = np.zeros((self.max_batch,), np.float32)
         for i in active:
             req = self.slots[i]
             tokens[i] = req.output[-1]
             pos[i] = len(req.prompt) + len(req.output) - 1
+            temps[i] = req.temperature
         logits, self.cache = decode_step(
             self.params,
             jnp.asarray(tokens),
@@ -200,10 +215,12 @@ class ContinuousBatcher:
             self.qmeta,
             arch=self.arch,
         )
-        logits_np = np.asarray(logits)
+        toks_np = np.asarray(
+            _sample_batch(logits, jnp.asarray(temps), self._next_key())
+        )
         for i in active:
             req = self.slots[i]
-            tok = _host_sample(logits_np[i], req.temperature, self.rng)
+            tok = int(toks_np[i])
             req.output.append(tok)
             hit_eos = self.eos is not None and tok == self.eos
             total = len(req.prompt) + len(req.output)

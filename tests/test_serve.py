@@ -191,12 +191,8 @@ def test_pallas_decode_attention_matches_xla(setup):
     vq, vs = quantize_kv(v)
     pos = jnp.array([10, 25], jnp.int32)
 
-    # interpret-mode kernel
-    import qtpu.kernels.pallas_kv_attention as mod
-
-    out = jax.jit(
-        lambda *a: _interp_decode(mod, *a)
-    )(q, kq, vq, ks, vs, pos)
+    # interpret-mode kernel (first-class kwarg)
+    out = pk.pallas_decode_attention(q, kq, vq, ks, vs, pos, interpret=True)
 
     # XLA reference
     K = dequantize_kv(kq, ks, jnp.float32)
