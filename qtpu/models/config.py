@@ -10,7 +10,9 @@ class ModelConfig:
     """Architecture hyperparameters for a causal decoder.
 
     arch:
-      "llama" — RMSNorm, RoPE, GQA, SwiGLU (covers TinyLlama/Llama-2/3)
+      "llama" — RMSNorm, RoPE, GQA, SwiGLU (covers TinyLlama/Llama-2/3,
+                and — via attention_bias / sliding_window — Qwen2 and
+                Mistral, which are Llama-family variants)
       "gpt2"  — LayerNorm+bias, learned positions, fused QKV, GELU MLP
     """
 
@@ -26,6 +28,11 @@ class ModelConfig:
     norm_eps: float = 1e-5
     max_seq_len: int = 2048
     tie_embeddings: bool = False
+    # Qwen2: learned bias on the q/k/v projections only
+    attention_bias: bool = False
+    # Mistral (and Qwen2 with use_sliding_window): each query attends to at
+    # most this many trailing positions. 0 = full causal.
+    sliding_window: int = 0
 
     def replace(self, **kw) -> "ModelConfig":
         return replace(self, **kw)
@@ -82,6 +89,52 @@ LLAMA2_70B = ModelConfig(
     max_seq_len=4096,
 )
 
+MISTRAL_7B = ModelConfig(
+    arch="llama",
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=10000.0,
+    norm_eps=1e-5,
+    max_seq_len=4096,
+    sliding_window=4096,
+)
+
+QWEN2_7B = ModelConfig(
+    arch="llama",
+    vocab_size=152064,
+    hidden_size=3584,
+    intermediate_size=18944,
+    num_layers=28,
+    num_heads=28,
+    num_kv_heads=4,
+    head_dim=128,
+    rope_theta=1e6,
+    norm_eps=1e-6,
+    max_seq_len=4096,
+    attention_bias=True,
+)
+
+QWEN2_0_5B = ModelConfig(
+    arch="llama",
+    vocab_size=151936,
+    hidden_size=896,
+    intermediate_size=4864,
+    num_layers=24,
+    num_heads=14,
+    num_kv_heads=2,
+    head_dim=64,
+    rope_theta=1e6,
+    norm_eps=1e-6,
+    max_seq_len=4096,
+    tie_embeddings=True,
+    attention_bias=True,
+)
+
 OPT_125M = ModelConfig(
     arch="opt",
     vocab_size=50272,
@@ -136,6 +189,33 @@ TINY_GPT2_TEST = ModelConfig(
     tie_embeddings=True,
 )
 
+TINY_QWEN2_TEST = ModelConfig(
+    arch="llama",
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=512,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=64,
+    rope_theta=1e6,
+    max_seq_len=512,
+    attention_bias=True,
+)
+
+TINY_MISTRAL_TEST = ModelConfig(
+    arch="llama",
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=512,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=64,
+    max_seq_len=512,
+    sliding_window=8,
+)
+
 # Tiny test configs (CPU-fast, dims kept multiples of 128 for group tests)
 TINY_TEST = ModelConfig(
     arch="llama",
@@ -155,6 +235,14 @@ PRESET_MODELS = {
     "tinyllama-random": TINYLLAMA_1_1B,
     "llama2-7b": LLAMA2_7B,
     "llama2-70b": LLAMA2_70B,
+    "mistral-7b": MISTRAL_7B,
+    "mistralai/Mistral-7B-v0.1": MISTRAL_7B,
+    "qwen2-7b": QWEN2_7B,
+    "Qwen/Qwen2-7B": QWEN2_7B,
+    "qwen2-0.5b": QWEN2_0_5B,
+    "Qwen/Qwen2-0.5B": QWEN2_0_5B,
+    "tiny-qwen2-test": TINY_QWEN2_TEST,
+    "tiny-mistral-test": TINY_MISTRAL_TEST,
     "gpt2": GPT2_SMALL,
     "gpt2-random": GPT2_SMALL,
     "opt-125m": OPT_125M,

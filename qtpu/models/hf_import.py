@@ -4,7 +4,8 @@ Maps a local HuggingFace Llama-family checkpoint (safetensors or torch
 .bin) into qtpu's stacked-layer pytree. This container has no network
 egress, so unlike the reference's from_pretrained(model_name) this takes a
 LOCAL directory; the name→tensor mapping covers the
-LlamaForCausalLM layout used by TinyLlama/Llama-2/Llama-3.
+LlamaForCausalLM layout used by TinyLlama/Llama-2/Llama-3, plus its
+Mistral (sliding window) and Qwen2 (q/k/v bias) variants.
 
 Note orientation: HF linear weights are [out, in]; qtpu stores [in, out],
 so every projection is transposed on import.
@@ -46,12 +47,32 @@ def _load_state_dict(ckpt_dir: str) -> dict:
 
 
 def config_from_hf(ckpt_dir: str) -> ModelConfig:
-    """Build a ModelConfig from a local HF config.json."""
+    """Build a ModelConfig from a local HF config.json.
+
+    model_type "llama"/"mistral"/"qwen2" all map onto qtpu's llama arch:
+    Mistral is Llama + sliding-window attention, Qwen2 is Llama + q/k/v
+    bias (+ optional sliding window, off by default in HF configs)."""
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         hf = json.load(f)
-    head_dim = hf.get(
-        "head_dim", hf["hidden_size"] // hf["num_attention_heads"]
+    mt = hf.get("model_type", "llama")
+    if mt not in ("llama", "mistral", "qwen2"):
+        raise ValueError(
+            f"config_from_hf handles llama-family checkpoints, got "
+            f"model_type={mt!r} (use load_gpt2_params/load_opt_params "
+            "with an explicit ModelConfig for gpt2/opt)"
+        )
+    # some configs carry an explicit "head_dim": null — `or` covers both
+    # absent and null
+    head_dim = (
+        hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"]
     )
+    # HF semantics: Mistral applies the window iff sliding_window is not
+    # null; Qwen2 additionally gates it behind use_sliding_window.
+    sw = hf.get("sliding_window")
+    if mt == "qwen2" and not hf.get("use_sliding_window", False):
+        sw = None
+    if mt == "llama":
+        sw = None
     return ModelConfig(
         arch="llama",
         vocab_size=hf["vocab_size"],
@@ -65,6 +86,8 @@ def config_from_hf(ckpt_dir: str) -> ModelConfig:
         norm_eps=hf.get("rms_norm_eps", 1e-5),
         max_seq_len=hf.get("max_position_embeddings", 2048),
         tie_embeddings=hf.get("tie_word_embeddings", False),
+        attention_bias=bool(hf.get("attention_bias", mt == "qwen2")),
+        sliding_window=int(sw) if sw else 0,
     )
 
 
@@ -105,6 +128,12 @@ def load_llama_params(
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
     }
+    # Qwen2: learned q/k/v bias (Llama/Mistral checkpoints have none)
+    if "model.layers.0.self_attn.q_proj.bias" in sd:
+        for site in ("q_proj", "k_proj", "v_proj"):
+            params["layers"][site]["b"] = stack(
+                prefix + f"self_attn.{site}.bias"
+            )
     if cfg.tie_embeddings or "lm_head.weight" not in sd:
         params["lm_head"] = {"w": params["embed"].T}
     else:

@@ -98,6 +98,11 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
         "final_norm": jnp.ones((D,), dtype),
         "lm_head": {"w": w(k[8], D, V)},
     }
+    if cfg.attention_bias:  # Qwen2: bias on q/k/v only
+        for kk, (site, n) in zip(
+            k[9:12], (("q_proj", Q), ("k_proj", KV), ("v_proj", KV))
+        ):
+            params["layers"][site]["b"] = w(kk, L, n)
     return params
 
 
@@ -117,7 +122,8 @@ def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     q, k, v = _qkv(h, lp, cfg, qm)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn = causal_attention(q, k, v, mask)
+    win = cfg.sliding_window if 0 < cfg.sliding_window < x.shape[1] else 0
+    attn = causal_attention(q, k, v, mask, window=win)
     if capture != "none":
         stats["o_in"] = _collect(attn, capture)
     x = x + linear(attn, lp["o_proj"], qm("o_proj"))
@@ -208,6 +214,10 @@ def _cached_attention(q, layer_kv, mask, cfg: ModelConfig):
         and ks_c is not None
         and jax.default_backend() == "tpu"
         and H % KV == 0
+        # the kernel derives the query position from a pure-causal mask
+        # row; a banded (sliding-window) mask breaks that, so windowed
+        # models take the XLA path whenever the window can bind
+        and (cfg.sliding_window <= 0 or cfg.sliding_window >= k_c.shape[2])
     ):
         try:
             from qtpu.kernels.pallas_kv_attention import pallas_decode_attention
@@ -298,6 +308,8 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
     rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
     kpos = jnp.arange(S)
     mask = kpos[None, None, :] <= positions[:, :, None]  # [B, T, S]
+    if 0 < cfg.sliding_window < S:
+        mask &= kpos[None, None, :] > positions[:, :, None] - cfg.sliding_window
     start = positions[:, 0]
 
     layers = params["layers"]
@@ -368,7 +380,13 @@ def forward(
     t0 = (input_ids[0, 0] * 0).astype(jnp.int32)
     positions = jnp.arange(S) + t0
     rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-    mask = (jnp.arange(S)[None, :] <= positions[:, None])[None, None, :, :]
+    mask = jnp.arange(S)[None, :] <= positions[:, None]
+    # Mistral/Qwen2 sliding window: key within the last `window` positions.
+    # Applied only when it can bind at this S (static), so full-causal
+    # models and short sequences keep the unbanded mask + flash kernel.
+    if 0 < cfg.sliding_window < S:
+        mask &= jnp.arange(S)[None, :] > positions[:, None] - cfg.sliding_window
+    mask = mask[None, None, :, :]
 
     def body(x, lp):
         x_out, stats = _layer_fwd(x, lp, cfg, rope, mask, capture, qmeta_d)

@@ -118,13 +118,15 @@ def linear(x: jnp.ndarray, p: dict, site_meta=None, layer=None) -> jnp.ndarray:
     return y
 
 
-def causal_attention(q, k, v, mask):
+def causal_attention(q, k, v, mask, window: int = 0):
     """Full-sequence causal attention with GQA. q [B,S,H,hd],
     k/v [B,S,KV,hd], mask [1|B,1,S,S] → [B,S,H·hd].
 
     On TPU at flash-tileable sizes, dispatches to the Pallas flash
     kernel (O(S·hd) memory, no [H,S,S] score tensor in HBM); otherwise
-    the XLA einsum path."""
+    the XLA einsum path. window > 0 (sliding-window models, with the band
+    already encoded in `mask`) forces the XLA path — the flash kernel
+    assumes a pure-causal mask."""
     B, S, H, hd = q.shape
     KV = k.shape[2]
     if KV != H:
@@ -132,7 +134,7 @@ def causal_attention(q, k, v, mask):
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-    if jax.default_backend() == "tpu" and S % 128 == 0:
+    if jax.default_backend() == "tpu" and S % 128 == 0 and window == 0:
         try:
             from qtpu.kernels.pallas_flash_attention import pallas_flash_attention
 
