@@ -24,4 +24,8 @@ def get_arch(name: str):
         from qtpu.models import opt
 
         return opt
+    if name == "moe":
+        from qtpu.models import moe
+
+        return moe
     raise KeyError(f"unknown arch '{name}'")

@@ -14,6 +14,8 @@ class ModelConfig:
                 and — via attention_bias / sliding_window — Qwen2 and
                 Mistral, which are Llama-family variants)
       "gpt2"  — LayerNorm+bias, learned positions, fused QKV, GELU MLP
+      "moe"   — llama attention + Mixtral-style sparse-MoE MLP (router +
+                num_experts SwiGLU experts, top-k token routing)
     """
 
     arch: str = "llama"
@@ -33,6 +35,12 @@ class ModelConfig:
     # Mistral (and Qwen2 with use_sliding_window): each query attends to at
     # most this many trailing positions. 0 = full causal.
     sliding_window: int = 0
+    # arch="moe" (Mixtral): expert count, tokens' top-k expert fan-out, and
+    # whether the top-k routing probabilities are renormalized to sum to 1
+    # (True for Mixtral, False for Qwen2-MoE-style routers)
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    norm_topk_prob: bool = True
 
     def replace(self, **kw) -> "ModelConfig":
         return replace(self, **kw)
@@ -135,6 +143,22 @@ QWEN2_0_5B = ModelConfig(
     attention_bias=True,
 )
 
+MIXTRAL_8X7B = ModelConfig(
+    arch="moe",
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=1e6,
+    norm_eps=1e-5,
+    max_seq_len=4096,
+    num_experts=8,
+    num_experts_per_tok=2,
+)
+
 OPT_125M = ModelConfig(
     arch="opt",
     vocab_size=50272,
@@ -216,6 +240,20 @@ TINY_MISTRAL_TEST = ModelConfig(
     sliding_window=8,
 )
 
+TINY_MOE_TEST = ModelConfig(
+    arch="moe",
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=64,
+    max_seq_len=512,
+    num_experts=4,
+    num_experts_per_tok=2,
+)
+
 # Tiny test configs (CPU-fast, dims kept multiples of 128 for group tests)
 TINY_TEST = ModelConfig(
     arch="llama",
@@ -243,6 +281,9 @@ PRESET_MODELS = {
     "Qwen/Qwen2-0.5B": QWEN2_0_5B,
     "tiny-qwen2-test": TINY_QWEN2_TEST,
     "tiny-mistral-test": TINY_MISTRAL_TEST,
+    "mixtral-8x7b": MIXTRAL_8X7B,
+    "mistralai/Mixtral-8x7B-v0.1": MIXTRAL_8X7B,
+    "tiny-moe-test": TINY_MOE_TEST,
     "gpt2": GPT2_SMALL,
     "gpt2-random": GPT2_SMALL,
     "opt-125m": OPT_125M,

@@ -51,11 +51,12 @@ def config_from_hf(ckpt_dir: str) -> ModelConfig:
 
     model_type "llama"/"mistral"/"qwen2" all map onto qtpu's llama arch:
     Mistral is Llama + sliding-window attention, Qwen2 is Llama + q/k/v
-    bias (+ optional sliding window, off by default in HF configs)."""
+    bias (+ optional sliding window, off by default in HF configs).
+    "mixtral" maps onto the moe arch (llama attention + routed experts)."""
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         hf = json.load(f)
     mt = hf.get("model_type", "llama")
-    if mt not in ("llama", "mistral", "qwen2"):
+    if mt not in ("llama", "mistral", "qwen2", "mixtral"):
         raise ValueError(
             f"config_from_hf handles llama-family checkpoints, got "
             f"model_type={mt!r} (use load_gpt2_params/load_opt_params "
@@ -74,7 +75,7 @@ def config_from_hf(ckpt_dir: str) -> ModelConfig:
     if mt == "llama":
         sw = None
     return ModelConfig(
-        arch="llama",
+        arch="moe" if mt == "mixtral" else "llama",
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
         intermediate_size=hf["intermediate_size"],
@@ -88,6 +89,8 @@ def config_from_hf(ckpt_dir: str) -> ModelConfig:
         tie_embeddings=hf.get("tie_word_embeddings", False),
         attention_bias=bool(hf.get("attention_bias", mt == "qwen2")),
         sliding_window=int(sw) if sw else 0,
+        num_experts=int(hf.get("num_local_experts", 0)),
+        num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
     )
 
 
@@ -140,6 +143,69 @@ def load_llama_params(
         params["lm_head"] = {
             "w": jnp.asarray(get("lm_head.weight").T, dtype)
         }
+    return params
+
+
+def load_moe_params(ckpt_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
+    """HF MixtralForCausalLM state dict → qtpu moe pytree (router
+    [L, D, E], experts stacked [L, E, ...]; HF w1=gate, w3=up, w2=down)."""
+    sd = _load_state_dict(ckpt_dir)
+    L, E = cfg.num_layers, cfg.num_experts
+
+    def get(name):
+        return np.asarray(sd[name])
+
+    def stack_T(fmt):
+        return jnp.asarray(
+            np.stack([get(fmt.format(i)).T for i in range(L)]), dtype
+        )
+
+    def stack(fmt):
+        return jnp.asarray(
+            np.stack([get(fmt.format(i)) for i in range(L)]), dtype
+        )
+
+    def stack_experts(which):
+        # [L, E, in, out] from per-expert [out, in] weights
+        return jnp.asarray(
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            get(
+                                f"model.layers.{i}.block_sparse_moe."
+                                f"experts.{e}.{which}.weight"
+                            ).T
+                            for e in range(E)
+                        ]
+                    )
+                    for i in range(L)
+                ]
+            ),
+            dtype,
+        )
+
+    prefix = "model.layers.{}."
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
+        "layers": {
+            "attn_norm": stack(prefix + "input_layernorm.weight"),
+            "mlp_norm": stack(prefix + "post_attention_layernorm.weight"),
+            "q_proj": {"w": stack_T(prefix + "self_attn.q_proj.weight")},
+            "k_proj": {"w": stack_T(prefix + "self_attn.k_proj.weight")},
+            "v_proj": {"w": stack_T(prefix + "self_attn.v_proj.weight")},
+            "o_proj": {"w": stack_T(prefix + "self_attn.o_proj.weight")},
+            "router": {"w": stack_T(prefix + "block_sparse_moe.gate.weight")},
+            "exp_gate": {"w": stack_experts("w1")},
+            "exp_up": {"w": stack_experts("w3")},
+            "exp_down": {"w": stack_experts("w2")},
+        },
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+    }
+    if cfg.tie_embeddings or "lm_head.weight" not in sd:
+        params["lm_head"] = {"w": params["embed"].T}
+    else:
+        params["lm_head"] = {"w": jnp.asarray(get("lm_head.weight").T, dtype)}
     return params
 
 
@@ -263,6 +329,7 @@ def load_checkpoint(ckpt_dir: str, cfg: ModelConfig | None = None, dtype=jnp.bfl
         cfg = config_from_hf(ckpt_dir)
     loader = {
         "llama": load_llama_params,
+        "moe": load_moe_params,
         "gpt2": load_gpt2_params,
         "opt": load_opt_params,
     }[cfg.arch]

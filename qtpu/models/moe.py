@@ -1,0 +1,322 @@
+"""Mixtral-style sparse-MoE decoder (llama attention + routed SwiGLU experts).
+
+The reference reaches MoE checkpoints through AutoModelForCausalLM
+(quantization_utils.py:48-89) and its hooks quantize every nn.Linear —
+including each expert's w1/w2/w3 and the router (quantization_utils.py:
+238-245). Here the expert weights are stacked [L, E, ...] pytree leaves, the
+router is a normal linear site, and routing is the dense "soft dispatch"
+form: every expert runs on every token and the top-k routing weights (zero
+elsewhere) combine the outputs. That trades FLOPs (E/k overcompute) for a
+fully static, MXU-shaped einsum with no gather/scatter — and it is exactly
+the form expert parallelism wants: shard the E axis over the mesh's `model`
+axis and the combine contraction becomes one psum (each device computes only
+its local experts; no token all-to-all).
+
+Calibration is reference-faithful for the experts: a torch hook on expert e
+sees only the tokens routed to it, so the captured `exp_down_in` statistics
+are masked by the routing decision (per-expert mean/max over routed tokens
+only), shaped [E, C] per layer.
+
+Attention (RMSNorm/RoPE/GQA, KV cache, sliding window) is shared with
+qtpu.models.llama.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.models.config import ModelConfig
+from qtpu.models.llama import _cached_attention, _collect, _qkv
+from qtpu.models.ops import (
+    apply_rope,
+    causal_attention,
+    linear,
+    rms_norm,
+    rope_tables,
+)
+
+LAYER_SITES = (
+    "q_proj",
+    "k_proj",
+    "v_proj",
+    "o_proj",
+    "router",
+    "exp_gate",
+    "exp_up",
+    "exp_down",
+)
+INPUT_SITES = ("attn_in", "o_in", "mlp_in", "exp_down_in", "head_in")
+SITE_OF_INPUT = {
+    "attn_in": ("q_proj", "k_proj", "v_proj"),
+    "o_in": ("o_proj",),
+    "mlp_in": ("router", "exp_gate", "exp_up"),
+    "exp_down_in": ("exp_down",),
+    "head_in": ("lm_head",),
+}
+ROW_PARALLEL_SITES = ("o_proj",)
+# sites with a [L, E, ...] expert axis: quantizers flatten L·E, the mesh
+# shards E over `model` (expert parallelism)
+EXPERT_SITES = ("exp_gate", "exp_up", "exp_down")
+# input sites whose stats carry a per-expert axis ([.., L, E, C])
+EXPERT_INPUT_SITES = ("exp_down_in",)
+# the router ([D, E], E ~ 8) is far too narrow for the MXU-tiled packed
+# kernels and negligible in size — pack_model keeps it dense
+PACK_DENSE_SITES = ("router",)
+
+
+def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
+    """Random-init MoE params; same layout contract as llama.init_params
+    plus router [L, D, E] and expert sites [L, E, ...]."""
+    assert cfg.num_experts > 1, "arch='moe' needs num_experts > 1"
+    k = jax.random.split(key, 16)
+    D, F, V, L, E = (
+        cfg.hidden_size,
+        cfg.intermediate_size,
+        cfg.vocab_size,
+        cfg.num_layers,
+        cfg.num_experts,
+    )
+    Q, KV = cfg.q_dim, cfg.kv_dim
+
+    def w(key, *shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    params = {
+        "embed": w(k[0], V, D),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "mlp_norm": jnp.ones((L, D), dtype),
+            "q_proj": {"w": w(k[1], L, D, Q)},
+            "k_proj": {"w": w(k[2], L, D, KV)},
+            "v_proj": {"w": w(k[3], L, D, KV)},
+            "o_proj": {"w": w(k[4], L, Q, D)},
+            "router": {"w": w(k[5], L, D, E)},
+            "exp_gate": {"w": w(k[6], L, E, D, F)},
+            "exp_up": {"w": w(k[7], L, E, D, F)},
+            "exp_down": {"w": w(k[8], L, E, F, D)},
+        },
+        "final_norm": jnp.ones((D,), dtype),
+        "lm_head": {"w": w(k[9], D, V)},
+    }
+    return params
+
+
+def _materialize_experts(p: dict, meta, dtype) -> jnp.ndarray:
+    """Dense [E, K, N] weights of one layer's expert site.
+
+    Dense sites return w directly; packed sites dequantize (affine int4/int8
+    or codebook) per expert — acceptable at MoE scale because the experts
+    dominate HBM, and future grouped Pallas kernels slot in behind this
+    helper. actorder ("perm") storage is un-permuted back to input order so
+    the caller's einsum needs no activation gather."""
+    if "w" in p:
+        return p["w"]
+    bits, g, K, N = meta[:4]
+    if "codebook" in p:
+        from qtpu.core.packing import unpack_int4
+
+        def one_cb(data, scales, cb):
+            codes = unpack_int4(data, g).astype(jnp.int32)  # [K, N]
+            w = cb[codes].reshape(K // g, g, N)
+            w = w * scales.astype(jnp.float32).reshape(K // g, 1, N)
+            return w.reshape(K, N).astype(dtype)
+
+        return jax.vmap(one_cb)(p["data"], p["scales"], p["codebook"])
+
+    from qtpu.kernels.dequant_matmul import _dequant_ref
+
+    def one_aff(data, scales, zeros, perm):
+        w = _dequant_ref(data, scales, zeros, bits, g, K, N, dtype)
+        if perm is not None:
+            # stored rows are in Hessian-diagonal order: w_eff[perm] = w
+            w = jnp.zeros_like(w).at[perm].set(w)
+        return w
+
+    return jax.vmap(one_aff, in_axes=(0, 0, 0 if "zeros" in p else None,
+                                      0 if "perm" in p else None))(
+        p["data"], p["scales"], p.get("zeros"), p.get("perm")
+    )
+
+
+def _expert_matmul(x, p: dict, meta, per_expert_input: bool):
+    """x [B,S,K] (shared input) or [B,S,E,K] (per-expert input) against an
+    expert site [E, K, N] → [B,S,E,N]. SmoothQuant/AWQ "smooth" input
+    vectors are per expert [E, K]."""
+    w = _materialize_experts(p, meta, x.dtype)  # [E, K, N]
+    if "smooth" in p:
+        s = p["smooth"].astype(x.dtype)  # [E, K]
+        x = (x[..., None, :] if not per_expert_input else x) * s
+        per_expert_input = True
+    if per_expert_input:
+        return jnp.einsum("bsek,ekn->bsen", x, w.astype(x.dtype))
+    return jnp.einsum("bsk,ekn->bsen", x, w.astype(x.dtype))
+
+
+def _routing_weights(h, lp, cfg: ModelConfig, qm):
+    """Dense [B,S,E] combine weights (zeros outside each token's top-k) —
+    the Mixtral router: full softmax over E, top-k, optional renorm."""
+    logits = linear(h, lp["router"], qm("router")).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # [B,S,E]
+    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(topi, cfg.num_experts, dtype=probs.dtype)
+    return jnp.einsum("bsk,bske->bse", topv, onehot)
+
+
+def _routed_stats(act, route_w, capture: str):
+    """Per-expert input stats over ROUTED tokens only — what a torch hook
+    on expert e's down-projection would see. act [B,S,E,F], route_w
+    [B,S,E] → stats arrays [E, F] (hessian [E, F, F])."""
+    m = (route_w > 0).astype(jnp.float32)  # [B,S,E]
+    a = jnp.abs(act.astype(jnp.float32)) * m[..., None]
+    cnt = jnp.maximum(jnp.sum(m, axis=(0, 1)), 1.0)  # [E]
+    out = {
+        "mean_abs": jnp.sum(a, axis=(0, 1)) / cnt[:, None],
+        "max_abs": jnp.max(a, axis=(0, 1)),
+    }
+    if capture == "hessian":
+        xm = act.astype(jnp.float32) * m[..., None]
+        out["hessian"] = jnp.einsum("bsef,bseg->efg", xm, xm)
+    return out
+
+
+def _moe_mlp(h, lp, cfg: ModelConfig, qm, capture: str = "none"):
+    """Routed expert MLP. Returns (out [B,S,D], exp_down_in stats|None)."""
+    route_w = _routing_weights(h, lp, cfg, qm)  # [B,S,E] f32
+    g = _expert_matmul(h, lp["exp_gate"], qm("exp_gate"), False)
+    u = _expert_matmul(h, lp["exp_up"], qm("exp_up"), False)
+    act = jax.nn.silu(g.astype(jnp.float32)).astype(h.dtype) * u  # [B,S,E,F]
+    d = _expert_matmul(act, lp["exp_down"], qm("exp_down"), True)  # [B,S,E,D]
+    out = jnp.einsum(
+        "bse,bsed->bsd", route_w, d.astype(jnp.float32)
+    ).astype(h.dtype)
+    stats = _routed_stats(act, route_w, capture) if capture != "none" else None
+    return out, stats
+
+
+def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
+    cos, sin = rope
+    stats = {}
+    qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
+
+    h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+    if capture != "none":
+        stats["attn_in"] = _collect(h, capture)
+    q, k, v = _qkv(h, lp, cfg, qm)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    win = cfg.sliding_window if 0 < cfg.sliding_window < x.shape[1] else 0
+    attn = causal_attention(q, k, v, mask, window=win)
+    if capture != "none":
+        stats["o_in"] = _collect(attn, capture)
+    x = x + linear(attn, lp["o_proj"], qm("o_proj"))
+
+    h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+    if capture != "none":
+        stats["mlp_in"] = _collect(h, capture)
+    mlp, down_stats = _moe_mlp(h, lp, cfg, qm, capture)
+    if capture != "none":
+        stats["exp_down_in"] = down_stats
+    x = x + mlp
+    return x, (stats if capture != "none" else None)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capture", "qmeta"))
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,
+    cfg: ModelConfig,
+    capture: str = "none",
+    qmeta=None,
+):
+    """Full-sequence causal forward; same contract as llama.forward, with
+    capture stats additionally carrying per-expert `exp_down_in` arrays
+    ([L, E, F])."""
+    qmeta_d = dict(qmeta) if qmeta is not None else None
+    B, S = input_ids.shape
+    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    t0 = (input_ids[0, 0] * 0).astype(jnp.int32)
+    positions = jnp.arange(S) + t0
+    rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    mask = jnp.arange(S)[None, :] <= positions[:, None]
+    if 0 < cfg.sliding_window < S:
+        mask &= jnp.arange(S)[None, :] > positions[:, None] - cfg.sliding_window
+    mask = mask[None, None, :, :]
+
+    def body(x, lp):
+        return _layer_fwd(x, lp, cfg, rope, mask, capture, qmeta_d)
+
+    x, layer_stats = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    qmh = None if qmeta_d is None else qmeta_d.get("lm_head")
+    logits = linear(x, params["lm_head"], qmh).astype(jnp.float32)
+    if capture == "none":
+        return logits
+    layer_stats = dict(layer_stats)
+    layer_stats["head_in"] = _collect(x, capture)
+    return logits, layer_stats
+
+
+def _layer_fwd_cached(x, lp, layer_kv, start, rope, mask, cfg, qmeta):
+    from qtpu.serve.kvcache import cache_layer_write
+
+    cos, sin = rope
+    qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
+    quantized = layer_kv[2] is not None
+
+    h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+    q, k, v = _qkv(h, lp, cfg, qm)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
+    attn = _cached_attention(q, layer_kv, mask, cfg)
+    x = x + linear(attn, lp["o_proj"], qm("o_proj"))
+
+    h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+    mlp, _ = _moe_mlp(h, lp, cfg, qm)
+    return x + mlp, layer_kv
+
+
+@partial(jax.jit, static_argnames=("cfg", "qmeta"))
+def forward_with_cache(params, input_ids, positions, cache, cfg, qmeta=None):
+    """Incremental forward for serving (prefill + decode); same contract as
+    llama.forward_with_cache. Weight delivery is scan-xs staging (each
+    layer's expert weights prefetched a scan step ahead); the stacked
+    scalar-prefetch path does not apply to [L, E, ...] sites."""
+    from qtpu.serve.kvcache import KVCache
+
+    qmeta_d = dict(qmeta) if qmeta is not None else None
+    B, T = input_ids.shape
+    S = cache.max_len
+    x = params["embed"][input_ids].astype(params["embed"].dtype)
+    rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    kpos = jnp.arange(S)
+    mask = kpos[None, None, :] <= positions[:, :, None]
+    if 0 < cfg.sliding_window < S:
+        mask &= kpos[None, None, :] > positions[:, :, None] - cfg.sliding_window
+    start = positions[:, 0]
+
+    def body(x, xs):
+        lp, kc, vc, ksc, vsc = xs
+        x, layer_kv = _layer_fwd_cached(
+            x, lp, (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d
+        )
+        return x, layer_kv
+
+    xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    qmh = None if qmeta_d is None else qmeta_d.get("lm_head")
+    logits = linear(x, params["lm_head"], qmh).astype(jnp.float32)
+    new_cache = KVCache(
+        k=k_new,
+        v=v_new,
+        k_scale=ks_new,
+        v_scale=vs_new,
+        length=jnp.maximum(cache.length, positions[:, -1] + 1),
+    )
+    return logits, new_cache

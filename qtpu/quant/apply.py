@@ -50,13 +50,60 @@ def _grid(mcfg: dict, default_step: float) -> tuple:
     return (float(lo), float(hi), float(step))
 
 
-def _map_sites(params: dict, fn, arch):
-    """Apply fn(site, w_kn, has_layer_axis) to every linear site's dense
-    weight; returns a new params pytree. Norms/embeddings are untouched;
-    per-site extras the quantizer doesn't produce (biases) carry over."""
+def _expert_stats_view(stats, E: int, expert_inputs):
+    """CalibStats view matching a [L·E]-flattened expert site: per-expert
+    input sites ([.., L, E, C]) merge their L,E axes; shared-input sites
+    ([.., L, C], one stat vector feeding all E experts of a layer) repeat
+    each layer's vector E times. Both produce layer-major (l0e0, l0e1, …)
+    order — the same order the weight flatten uses."""
+    if stats is None:
+        return None
+
+    def fix(d, batch_lead):
+        la = 1 if batch_lead else 0
+        out = {}
+        for s, a in d.items():
+            if s == "head_in":
+                out[s] = a
+            elif s in expert_inputs:
+                out[s] = a.reshape(
+                    a.shape[:la] + (a.shape[la] * a.shape[la + 1],) + a.shape[la + 2:]
+                )
+            else:
+                out[s] = jnp.repeat(a, E, axis=la)
+        return out
+
+    return CalibStats(
+        mean_abs=fix(stats.mean_abs, True),
+        max_abs=fix(stats.max_abs, False),
+        hessian=None if stats.hessian is None else fix(stats.hessian, False),
+        n_batches=stats.n_batches,
+    )
+
+
+def _map_sites(params: dict, fn, arch, stats=None):
+    """Apply fn(site, w_kn, has_layer_axis, stats) to every linear site's
+    dense weight; returns a new params pytree. Norms/embeddings are
+    untouched; per-site extras the quantizer doesn't produce (biases) carry
+    over. MoE expert sites ([L, E, K, N], arch.EXPERT_SITES) are flattened
+    to a [L·E, K, N] layer axis around fn — with a matching stats view —
+    and every produced leaf is unflattened back to [L, E, ...]."""
+    expert_sites = set(getattr(arch, "EXPERT_SITES", ()))
+    expert_inputs = set(getattr(arch, "EXPERT_INPUT_SITES", ()))
+    ev = {}
 
     def rebuild(site, old, has_l):
-        out = fn(site, old["w"], has_l)
+        if site in expert_sites:
+            w = old["w"]
+            L, E = w.shape[:2]
+            if E not in ev:
+                ev[E] = _expert_stats_view(stats, E, expert_inputs)
+            out = fn(site, w.reshape((L * E,) + w.shape[2:]), True, ev[E])
+            out = {
+                k: v.reshape((L, E) + v.shape[1:]) for k, v in out.items()
+            }
+        else:
+            out = fn(site, old["w"], has_l, stats)
         for k in old:
             if k not in out and k != "w":
                 out[k] = old[k]
@@ -92,14 +139,14 @@ def quantize_model(
 
     if method == "rtn":
 
-        def fn(site, w, has_l):
+        def fn(site, w, has_l, st):
             q = _vt(pseudo_quantize, w, has_l, n_bit=w_bit, q_group_size=g)
             return {"w": q}
 
     elif method == "pot":
         grid = _grid(mcfg, 0.01)
 
-        def fn(site, w, has_l):
+        def fn(site, w, has_l, st):
             q = _vt(
                 pot_quantize_tensor, w, has_l, n_bit=w_bit, q_group_size=g, grid=grid
             )
@@ -109,7 +156,7 @@ def quantize_model(
         grid = _grid(mcfg, 0.05)
         k = int(mcfg.get("k", 2))
 
-        def fn(site, w, has_l):
+        def fn(site, w, has_l, st):
             q = _vt(
                 apot_quantize_tensor,
                 w,
@@ -128,9 +175,9 @@ def quantize_model(
         sf = float(mcfg.get("scale_factor", 1.0))
         do_search = bool(mcfg.get("search_scale", False))
 
-        def fn(site, w, has_l):
+        def fn(site, w, has_l, st):
             try:
-                imp = stats.importance(_input_site_of(site, arch_mod))
+                imp = st.importance(_input_site_of(site, arch_mod))
             except KeyError:
                 # layer not in calibration data → skip, keep fp weights
                 # (reference awq_quantizer.py:52-54)
@@ -159,11 +206,11 @@ def quantize_model(
         blocksize = int(mcfg.get("blocksize", 128))
         nsamples = int(mcfg.get("nsamples", 128))
 
-        def fn(site, w, has_l):
+        def fn(site, w, has_l, st):
             try:
                 in_site = _input_site_of(site, arch_mod)
-                have = in_site in stats.mean_abs or (
-                    stats.hessian is not None and in_site in stats.hessian
+                have = in_site in st.mean_abs or (
+                    st.hessian is not None and in_site in st.hessian
                 )
             except KeyError:
                 have = False
@@ -182,7 +229,7 @@ def quantize_model(
                 q = jax.vmap(one)(w) if has_l else one(w)
                 return {"w": q}
 
-            have_true_h = stats.hessian is not None and in_site in stats.hessian
+            have_true_h = st.hessian is not None and in_site in st.hessian
 
             if has_l and not actorder:
                 # fused prepare+sweep per layer chunk: the [L, C, C]
@@ -222,9 +269,9 @@ def quantize_model(
                     ).T
 
                 if have_true_h:
-                    xs = (w, stats.hessian[in_site])
+                    xs = (w, st.hessian[in_site])
                 else:
-                    mv = stats.mean_abs[in_site][:nsamples]  # [S, L, C]
+                    mv = st.mean_abs[in_site][:nsamples]  # [S, L, C]
                     xs = (w, jnp.swapaxes(mv, 0, 1))  # [L, S, C]
                 q = jax.lax.map(per_layer, xs, batch_size=chunk)
                 return {"w": q}
@@ -243,7 +290,7 @@ def quantize_model(
                         error_compensation=True,
                     ).T
 
-                H_all = stats.hessian[in_site]
+                H_all = st.hessian[in_site]
                 if has_l:
                     # lax.map: sequential over layers to bound C×C memory
                     q = jax.lax.map(lambda args: one(*args), (w, H_all))
@@ -266,7 +313,7 @@ def quantize_model(
                     stat_vectors=v_stats,
                 ).T
 
-            mv = stats.mean_abs[in_site][:nsamples]  # [S, L, C] | [S, C]
+            mv = st.mean_abs[in_site][:nsamples]  # [S, L, C] | [S, C]
             if has_l:
                 q = jax.lax.map(
                     lambda args: one_v(*args), (w, jnp.swapaxes(mv, 0, 1))
@@ -281,9 +328,9 @@ def quantize_model(
         alpha = mcfg.get("alpha", 0.5)
         do_search = bool(mcfg.get("search_alpha", False))
 
-        def fn(site, w, has_l):
+        def fn(site, w, has_l, st):
             try:
-                amax = stats.max_abs[_input_site_of(site, arch_mod)]
+                amax = st.max_abs[_input_site_of(site, arch_mod)]
             except KeyError:
                 # no act scales → RTN without smoothing (the reference
                 # still pseudo-quantizes every Linear,
@@ -312,7 +359,7 @@ def quantize_model(
     else:
         raise ValueError(f"unknown quantization method '{method}'")
 
-    return _map_sites(params, fn, arch_mod)
+    return _map_sites(params, fn, arch_mod, stats)
 
 
 def _vt(tensor_fn, w, has_l, **kw):
@@ -354,14 +401,18 @@ def pack_model(
             p["smooth"] = smooth_k
         return p, (w_bit, g, w_kn.shape[-2], w_kn.shape[-1])
 
-    def fn(site, w, has_l):
+    def fn(site, w, has_l, st):
+        if site in getattr(arch_mod, "PACK_DENSE_SITES", ()):
+            # e.g. the MoE router: [D, E] with E ~ 8 is too narrow for the
+            # MXU-tiled packed kernels and negligible in size — keep dense
+            return {"w": w}
         if method == "rtn":
             smooth = None
             w_eff = w
         elif method == "awq":
             protect = float(mcfg.get("protect_ratio", 0.01))
             sf = float(mcfg.get("scale_factor", 1.0))
-            imp = stats.importance(_input_site_of(site, arch_mod))
+            imp = st.importance(_input_site_of(site, arch_mod))
 
             def vec(imp_l):
                 return _protection_scale_vec(imp_l, protect, sf)
@@ -372,7 +423,7 @@ def pack_model(
             smooth = 1.0 / v
         elif method == "smoothquant":
             alpha = mcfg.get("alpha", 0.5)
-            amax = stats.max_abs[_input_site_of(site, arch_mod)]
+            amax = st.max_abs[_input_site_of(site, arch_mod)]
 
             def sm(w_kn, amax_l):
                 s = compute_smoothing_scales(amax_l, w_kn.T, alpha)
@@ -441,17 +492,17 @@ def pack_model(
             damp = float(mcfg.get("perp_damp", 0.01))
             nsamples = int(mcfg.get("nsamples", 128))
             actorder = bool(mcfg.get("actorder", False))
-            have_true_h = stats.hessian is not None and in_site in stats.hessian
+            have_true_h = st.hessian is not None and in_site in st.hessian
             if have_true_h:
-                H_all = stats.hessian[in_site]
+                H_all = st.hessian[in_site]
             elif has_l:
                 # keep proxy Hessians unmaterialized: stacked stat vectors
                 # [L, S, C] are tiny; H builds inside the chunked map below
-                mv = stats.mean_abs[in_site][:nsamples]
+                mv = st.mean_abs[in_site][:nsamples]
                 H_all = jnp.swapaxes(mv, 0, 1)
             else:
                 # [S, C] stat vectors go straight to prep() (low-rank path)
-                H_all = stats.mean_abs[in_site][:nsamples]
+                H_all = st.mean_abs[in_site][:nsamples]
 
             from qtpu.core.packing import pack_int4
             from qtpu.quant.gptq import (
@@ -548,7 +599,7 @@ def pack_model(
         metas[site] = meta
         return p
 
-    packed = _map_sites(params, fn, arch_mod)
+    packed = _map_sites(params, fn, arch_mod, stats)
     qmeta = tuple(sorted(metas.items()))
     return packed, qmeta
 

@@ -50,8 +50,21 @@ def param_specs(params: dict, arch: str = "llama") -> dict:
 
     arch_mod = get_arch(arch)
     row_sites = set(getattr(arch_mod, "ROW_PARALLEL_SITES", ()))
+    expert_sites = set(getattr(arch_mod, "EXPERT_SITES", ()))
+    # the MoE router is tiny ([D, E]) and its full softmax needs every
+    # expert's logit — replicate it
+    replicated_sites = set(getattr(arch_mod, "PACK_DENSE_SITES", ()))
 
     def site_specs(site: str, p: dict, extra: int) -> dict:
+        if site in expert_sites:
+            # expert parallelism: shard the E axis of [L, E, ...] leaves
+            # over `model`; the routed-combine contraction becomes a psum
+            return {
+                k: P(None, "model", *((None,) * (v.ndim - 2)))
+                for k, v in p.items()
+            }
+        if site in replicated_sites:
+            return {k: P(*((None,) * v.ndim)) for k, v in p.items()}
         table = _site_spec(site, extra, site in row_sites)
         return {k: table[k] for k in p.keys()}
 
