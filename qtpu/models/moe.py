@@ -104,55 +104,33 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
     return params
 
 
-def _materialize_experts(p: dict, meta, dtype) -> jnp.ndarray:
-    """Dense [E, K, N] weights of one layer's expert site.
-
-    Dense sites return w directly; packed sites dequantize (affine int4/int8
-    or codebook) per expert — acceptable at MoE scale because the experts
-    dominate HBM, and future grouped Pallas kernels slot in behind this
-    helper. actorder ("perm") storage is un-permuted back to input order so
-    the caller's einsum needs no activation gather."""
-    if "w" in p:
-        return p["w"]
-    bits, g, K, N = meta[:4]
-    if "codebook" in p:
-        from qtpu.core.packing import unpack_int4
-
-        def one_cb(data, scales, cb):
-            codes = unpack_int4(data, g).astype(jnp.int32)  # [K, N]
-            w = cb[codes].reshape(K // g, g, N)
-            w = w * scales.astype(jnp.float32).reshape(K // g, 1, N)
-            return w.reshape(K, N).astype(dtype)
-
-        return jax.vmap(one_cb)(p["data"], p["scales"], p["codebook"])
-
-    from qtpu.kernels.dequant_matmul import _dequant_ref
-
-    def one_aff(data, scales, zeros, perm):
-        w = _dequant_ref(data, scales, zeros, bits, g, K, N, dtype)
-        if perm is not None:
-            # stored rows are in Hessian-diagonal order: w_eff[perm] = w
-            w = jnp.zeros_like(w).at[perm].set(w)
-        return w
-
-    return jax.vmap(one_aff, in_axes=(0, 0, 0 if "zeros" in p else None,
-                                      0 if "perm" in p else None))(
-        p["data"], p["scales"], p.get("zeros"), p.get("perm")
-    )
-
-
 def _expert_matmul(x, p: dict, meta, per_expert_input: bool):
     """x [B,S,K] (shared input) or [B,S,E,K] (per-expert input) against an
     expert site [E, K, N] → [B,S,E,N]. SmoothQuant/AWQ "smooth" input
-    vectors are per expert [E, K]."""
-    w = _materialize_experts(p, meta, x.dtype)  # [E, K, N]
-    if "smooth" in p:
-        s = p["smooth"].astype(x.dtype)  # [E, K]
-        x = (x[..., None, :] if not per_expert_input else x) * s
-        per_expert_input = True
-    if per_expert_input:
-        return jnp.einsum("bsek,ekn->bsen", x, w.astype(x.dtype))
-    return jnp.einsum("bsk,ekn->bsen", x, w.astype(x.dtype))
+    vectors are per expert [E, K].
+
+    Dense sites run one einsum over E. Packed sites run one fused
+    dequant-matmul per expert through ops.linear (E is static and small;
+    in-jit kernel launches are ~free) so expert weights stream from HBM at
+    packed width — dense soft-dispatch touches every expert's weights each
+    step, so NOT materializing them in bf16 is the whole bandwidth story.
+    linear also covers each expert's smooth/perm/codebook/W8A8 variants."""
+    if "w" in p:
+        w = p["w"]  # [E, K, N]
+        if "smooth" in p:
+            s = p["smooth"].astype(x.dtype)  # [E, K]
+            x = (x[..., None, :] if not per_expert_input else x) * s
+            per_expert_input = True
+        if per_expert_input:
+            return jnp.einsum("bsek,ekn->bsen", x, w.astype(x.dtype))
+        return jnp.einsum("bsk,ekn->bsen", x, w.astype(x.dtype))
+    E = p["data"].shape[0]
+    outs = []
+    for e in range(E):
+        pe = jax.tree_util.tree_map(lambda a: a[e], p)
+        xe = x[..., e, :] if per_expert_input else x
+        outs.append(linear(xe, pe, meta))
+    return jnp.stack(outs, axis=2)
 
 
 def _routing_weights(h, lp, cfg: ModelConfig, qm):

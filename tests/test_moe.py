@@ -160,6 +160,46 @@ def test_pack_moe_rtn_parity(setup):
     np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
 
 
+def test_pack_moe_codebook_parity(setup):
+    """POT-packed experts take the codebook-LUT path per expert; parity
+    against the POT fake-quant forward. Mean-abs criterion (as in
+    test_model.test_packed_pot_matches_fake_quant): bf16 scale storage
+    can flip a borderline token's top-k expert, which moves a few logit
+    rows wholesale — per-expert weight reconstruction is separately
+    bit-faithful to ~2e-4."""
+    params, ids = setup
+    mcfg = {"w_bit": 4, "q_group_size": 64}
+    fq = quantize_model(params, "pot", mcfg, arch="moe")
+    expect = np.asarray(forward(fq, ids, CFG))
+    packed, qmeta = pack_model(params, "pot", mcfg, arch="moe")
+    assert "codebook" in packed["layers"]["exp_down"]
+    got = np.asarray(forward(packed, ids, CFG, qmeta=qmeta))
+    assert np.abs(got - expect).mean() < 0.02
+
+
+def test_moe_packed_decode_matches_packed_cacheless(setup):
+    """Packed W4 serving: cached greedy decode must reproduce the packed
+    cacheless forward's continuation (experts stream as packed codes
+    through per-expert fused dequant-matmuls)."""
+    params, _ = setup
+    mcfg = {"w_bit": 4, "q_group_size": 64}
+    packed, qmeta = pack_model(params, "rtn", mcfg, arch="moe")
+    prompt = jax.random.randint(jax.random.PRNGKey(9), (2, 5), 0, CFG.vocab_size)
+    ids = np.asarray(prompt).tolist()
+    expect = []
+    for _ in range(5):
+        logits = forward(packed, jnp.asarray(ids), CFG, qmeta=qmeta)
+        toks = [int(jnp.argmax(logits[b, -1])) for b in range(2)]
+        expect.append(toks)
+        ids = [row + [t] for row, t in zip(ids, toks)]
+    expect = np.asarray(expect).T  # [B, n]
+    cache = init_cache(CFG, 2, 32)
+    toks, _ = greedy_generate(
+        packed, prompt, cache, CFG, n_tokens=5, qmeta=qmeta, arch="moe"
+    )
+    assert (np.asarray(toks) == expect).all()
+
+
 def test_moe_cached_decode_matches_cacheless(setup):
     params, _ = setup
     prompt = jax.random.randint(jax.random.PRNGKey(7), (1, 6), 0, CFG.vocab_size)
