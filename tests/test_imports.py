@@ -52,6 +52,7 @@ MODULES = {
     "qtpu.models.llama": ["forward", "forward_with_cache", "init_params"],
     "qtpu.models.gpt2": ["forward", "forward_with_cache", "init_params"],
     "qtpu.models.opt": ["forward", "forward_with_cache", "init_params"],
+    "qtpu.models.moe": ["forward", "forward_with_cache", "init_params"],
     "qtpu.models.hf_import": [
         "load_llama_params",
         "load_gpt2_params",
