@@ -311,8 +311,9 @@ class QuantizationBenchmark:
                 self.stats if needs_stats else None,
                 arch=self.model_cfg.arch,
             )
-            from qtpu.quant.apply import fuse_packed_sites
+            from qtpu.quant.apply import fold_smooth, fuse_packed_sites
 
+            packed, qmeta = fold_smooth(packed, qmeta, arch=self.model_cfg.arch)
             packed, qmeta = fuse_packed_sites(
                 packed, qmeta, arch=self.model_cfg.arch
             )

@@ -176,16 +176,34 @@ def _collect(x, capture: str):
     return out
 
 
-def _use_stacked_weights(layers, L: int) -> bool:
-    """Decode weight-delivery policy (see _layer_fwd_cached): xs staging
-    while one layer's weights double-buffer in VMEM (≤ ~half of v5e's
-    128 MB), scalar-prefetch stacked kernels beyond. QTPU_STACKED_WEIGHTS
-    overrides (1/0)."""
+def _use_stacked_weights(layers, L: int, T: int = 1, qmeta_d=None) -> bool:
+    """Weight-delivery policy (see _layer_fwd_cached).
+
+    Decode (T == 1): always scalar-prefetch stacked kernels — inside a
+    multi-step scanned decode, xs staging makes XLA copy every layer's
+    packed weights each step (measured 1.76 ms vs 1.20 ms for the
+    matmuls of a TinyLlama W4 decode step on v5e; round-1's pro-staging
+    measurement was an artifact of per-step Python dispatch).
+    Prefill (T > 1): xs staging while one layer's weights double-buffer
+    in VMEM (≤ ~half of v5e's 128 MB) — prefill is MXU-bound and the
+    staging copy overlaps compute; stacked kernels beyond that.
+    QTPU_STACKED_WEIGHTS overrides (1/0)."""
     import os
 
     env = os.environ.get("QTPU_STACKED_WEIGHTS")
     if env is not None:
         return env == "1"
+    affine_packed = any(
+        isinstance(site, dict)
+        and "data" in site
+        and "codebook" not in site
+        and "perm" not in site
+        for site in layers.values()
+    ) and not any(
+        len(m) == 5 for m in (qmeta_d or {}).values()
+    )
+    if T == 1 and affine_packed:
+        return True
     per_layer = sum(
         a.nbytes
         for site in layers.values()
@@ -315,7 +333,7 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
     layers = params["layers"]
     L = cache.k.shape[0]
     cache_xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
-    if _use_stacked_weights(layers, L):
+    if _use_stacked_weights(layers, L, T, qmeta_d):
         def body(x, xs):
             l, an, mn, kc, vc, ksc, vsc = xs
             x, layer_kv = _layer_fwd_cached(

@@ -104,27 +104,72 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
     return params
 
 
-def _expert_matmul(x, p: dict, meta, per_expert_input: bool):
+def _expert_matmul(x, p: dict, meta, per_expert_input: bool, layer=None):
     """x [B,S,K] (shared input) or [B,S,E,K] (per-expert input) against an
-    expert site [E, K, N] → [B,S,E,N]. SmoothQuant/AWQ "smooth" input
-    vectors are per expert [E, K].
+    expert site [E, K, N] (or layer-stacked [L, E, K, N] with `layer` a
+    traced index) → [B,S,E,N]. SmoothQuant/AWQ "smooth" input vectors are
+    per expert [E, K].
 
-    Dense sites run one einsum over E. Packed sites run one fused
-    dequant-matmul per expert through ops.linear (E is static and small;
-    in-jit kernel launches are ~free) so expert weights stream from HBM at
-    packed width — dense soft-dispatch touches every expert's weights each
-    step, so NOT materializing them in bf16 is the whole bandwidth story.
-    linear also covers each expert's smooth/perm/codebook/W8A8 variants."""
+    Dense sites run one einsum over E. Packed affine sites run ONE grouped
+    Pallas launch for all E experts (kernels.pallas_moe_matmul, grid over
+    (E, M, N) tiles) so every expert's weights stream from HBM exactly
+    once per step at packed width — dense soft-dispatch touches every
+    expert's weights each step, so NOT materializing them in bf16 is the
+    whole bandwidth story. Codebook/W8A8/perm expert variants fall back to
+    one fused call per expert through ops.linear (E is static and small;
+    in-jit launches are cheap)."""
     if "w" in p:
-        w = p["w"]  # [E, K, N]
+        w = p["w"] if layer is None else p["w"][layer]  # [E, K, N]
         if "smooth" in p:
-            s = p["smooth"].astype(x.dtype)  # [E, K]
-            x = (x[..., None, :] if not per_expert_input else x) * s
+            s = p["smooth"] if layer is None else p["smooth"][layer]
+            x = (x[..., None, :] if not per_expert_input else x) * s.astype(
+                x.dtype
+            )
             per_expert_input = True
         if per_expert_input:
             return jnp.einsum("bsek,ekn->bsen", x, w.astype(x.dtype))
         return jnp.einsum("bsk,ekn->bsen", x, w.astype(x.dtype))
-    E = p["data"].shape[0]
+
+    if "smooth" in p:
+        s = p["smooth"] if layer is None else p["smooth"][layer]  # [E, K]
+        x = (x[..., None, :] if not per_expert_input else x) * s.astype(x.dtype)
+        per_expert_input = True
+        p = {k: v for k, v in p.items() if k != "smooth"}
+
+    B, S = x.shape[:2]
+    E = p["data"].shape[1] if p["data"].ndim == 4 else p["data"].shape[0]
+    grouped_ok = (
+        meta is not None
+        and len(meta) == 4
+        and "codebook" not in p
+        and "perm" not in p
+        and jax.default_backend() == "tpu"
+    )
+    if grouped_ok:
+        try:
+            from qtpu.kernels.pallas_moe_matmul import pallas_moe_quantized_matmul
+
+            K = meta[2]
+            x2 = (
+                jnp.moveaxis(x, 2, 0).reshape(E, B * S, K)
+                if per_expert_input
+                else x.reshape(B * S, K)
+            )
+            out = pallas_moe_quantized_matmul(
+                x2,
+                p["data"],
+                p["scales"],
+                p.get("zeros"),
+                meta,
+                layer=layer,
+                per_expert_input=per_expert_input,
+            )  # [E, B·S, N]
+            return jnp.moveaxis(out.reshape(E, B, S, -1), 0, 2)
+        except NotImplementedError:
+            pass
+
+    if layer is not None:
+        p = jax.tree_util.tree_map(lambda a: a[layer], p)
     outs = []
     for e in range(E):
         pe = jax.tree_util.tree_map(lambda a: a[e], p)
@@ -133,10 +178,12 @@ def _expert_matmul(x, p: dict, meta, per_expert_input: bool):
     return jnp.stack(outs, axis=2)
 
 
-def _routing_weights(h, lp, cfg: ModelConfig, qm):
+def _routing_weights(h, lp, cfg: ModelConfig, qm, layer=None):
     """Dense [B,S,E] combine weights (zeros outside each token's top-k) —
     the Mixtral router: full softmax over E, top-k, optional renorm."""
-    logits = linear(h, lp["router"], qm("router")).astype(jnp.float32)
+    logits = linear(h, lp["router"], qm("router"), layer=layer).astype(
+        jnp.float32
+    )
     probs = jax.nn.softmax(logits, axis=-1)  # [B,S,E]
     topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     if cfg.norm_topk_prob:
@@ -162,13 +209,16 @@ def _routed_stats(act, route_w, capture: str):
     return out
 
 
-def _moe_mlp(h, lp, cfg: ModelConfig, qm, capture: str = "none"):
-    """Routed expert MLP. Returns (out [B,S,D], exp_down_in stats|None)."""
-    route_w = _routing_weights(h, lp, cfg, qm)  # [B,S,E] f32
-    g = _expert_matmul(h, lp["exp_gate"], qm("exp_gate"), False)
-    u = _expert_matmul(h, lp["exp_up"], qm("exp_up"), False)
+def _moe_mlp(h, lp, cfg: ModelConfig, qm, capture: str = "none", layer=None):
+    """Routed expert MLP. Returns (out [B,S,D], exp_down_in stats|None).
+    layer: traced index into [L, ...]-stacked params (decode weight
+    delivery through the scalar-prefetch grouped kernel), or None when lp
+    is already this layer's slice."""
+    route_w = _routing_weights(h, lp, cfg, qm, layer)  # [B,S,E] f32
+    g = _expert_matmul(h, lp["exp_gate"], qm("exp_gate"), False, layer)
+    u = _expert_matmul(h, lp["exp_up"], qm("exp_up"), False, layer)
     act = jax.nn.silu(g.astype(jnp.float32)).astype(h.dtype) * u  # [B,S,E,F]
-    d = _expert_matmul(act, lp["exp_down"], qm("exp_down"), True)  # [B,S,E,D]
+    d = _expert_matmul(act, lp["exp_down"], qm("exp_down"), True, layer)
     out = jnp.einsum(
         "bse,bsed->bsd", route_w, d.astype(jnp.float32)
     ).astype(h.dtype)
@@ -239,32 +289,41 @@ def forward(
     return logits, layer_stats
 
 
-def _layer_fwd_cached(x, lp, layer_kv, start, rope, mask, cfg, qmeta):
+def _layer_fwd_cached(x, layers, l, norms, layer_kv, start, rope, mask, cfg, qmeta):
+    """One decoder layer with KV-cache read/write. Two weight-delivery
+    modes, mirroring llama._layer_fwd_cached: l is None → `layers` is this
+    layer's sliced params (scan xs staging); l a traced index → `layers`
+    is the full [L, ...]-stacked dict read through scalar-prefetch kernels
+    (ops.linear for attention sites, the grouped MoE kernel for [L, E, ..]
+    expert sites — zero staging copies)."""
     from qtpu.serve.kvcache import cache_layer_write
 
+    attn_norm, mlp_norm = norms
     cos, sin = rope
     qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
     quantized = layer_kv[2] is not None
 
-    h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-    q, k, v = _qkv(h, lp, cfg, qm)
+    h = rms_norm(x, attn_norm, cfg.norm_eps)
+    q, k, v = _qkv(h, layers, cfg, qm, layer=l)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
     attn = _cached_attention(q, layer_kv, mask, cfg)
-    x = x + linear(attn, lp["o_proj"], qm("o_proj"))
+    x = x + linear(attn, layers["o_proj"], qm("o_proj"), layer=l)
 
-    h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-    mlp, _ = _moe_mlp(h, lp, cfg, qm)
+    h = rms_norm(x, mlp_norm, cfg.norm_eps)
+    mlp, _ = _moe_mlp(h, layers, cfg, qm, layer=l)
     return x + mlp, layer_kv
 
 
 @partial(jax.jit, static_argnames=("cfg", "qmeta"))
 def forward_with_cache(params, input_ids, positions, cache, cfg, qmeta=None):
     """Incremental forward for serving (prefill + decode); same contract as
-    llama.forward_with_cache. Weight delivery is scan-xs staging (each
-    layer's expert weights prefetched a scan step ahead); the stacked
-    scalar-prefetch path does not apply to [L, E, ...] sites."""
+    llama.forward_with_cache. Weight delivery at decode (T = 1, packed
+    affine sites) reads the stacked [L, ...] / [L, E, ...] arrays directly
+    through scalar-prefetch kernels; prefill keeps scan-xs staging (each
+    layer's expert weights prefetched a scan step ahead)."""
+    from qtpu.models.llama import _use_stacked_weights
     from qtpu.serve.kvcache import KVCache
 
     qmeta_d = dict(qmeta) if qmeta is not None else None
@@ -278,14 +337,32 @@ def forward_with_cache(params, input_ids, positions, cache, cfg, qmeta=None):
         mask &= kpos[None, None, :] > positions[:, :, None] - cfg.sliding_window
     start = positions[:, 0]
 
-    def body(x, xs):
-        lp, kc, vc, ksc, vsc = xs
-        x, layer_kv = _layer_fwd_cached(
-            x, lp, (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d
-        )
-        return x, layer_kv
+    layers = params["layers"]
+    L = cache.k.shape[0]
+    cache_xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    if _use_stacked_weights(layers, L, T, qmeta_d):
+        def body(x, xs):
+            l, an, mn, kc, vc, ksc, vsc = xs
+            return _layer_fwd_cached(
+                x, layers, l, (an, mn), (kc, vc, ksc, vsc), start, rope,
+                mask, cfg, qmeta_d,
+            )
 
-    xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        xs = (
+            jnp.arange(L, dtype=jnp.int32),
+            layers["attn_norm"],
+            layers["mlp_norm"],
+        ) + cache_xs
+    else:
+        def body(x, xs):
+            lp, kc, vc, ksc, vsc = xs
+            return _layer_fwd_cached(
+                x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
+                (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d,
+            )
+
+        xs = (layers,) + cache_xs
+
     x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     qmh = None if qmeta_d is None else qmeta_d.get("lm_head")

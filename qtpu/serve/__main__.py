@@ -63,8 +63,9 @@ def main(argv=None) -> int:
         if args.a8:
             mcfg.update({"act_quant": True, "w_bit": 8})
         params, qmeta = pack_model(params, args.method, mcfg, stats, arch=cfg.arch)
-        from qtpu.quant.apply import fuse_packed_sites
+        from qtpu.quant.apply import fold_smooth, fuse_packed_sites
 
+        params, qmeta = fold_smooth(params, qmeta, arch=cfg.arch)
         params, qmeta = fuse_packed_sites(params, qmeta, arch=cfg.arch)
         print(f"packed model with {args.method} W{args.w_bit} g{args.group}")
 

@@ -73,6 +73,67 @@ def sample_token(logits, key, temperature=0.0, top_k=0, top_p=0.0):
 
 @partial(
     jax.jit,
+    static_argnames=("cfg", "qmeta", "n_steps", "arch"),
+    donate_argnums=(3,),
+)
+def decode_multi(
+    params,
+    token,
+    pos,
+    cache,
+    temps,
+    key,
+    cfg,
+    n_steps: int,
+    qmeta=None,
+    arch: str = "llama",
+):
+    """n_steps decode steps as ONE compiled program (lax.scan), the unit
+    the continuous batcher and bench drive. Amortizes per-dispatch host
+    overhead (measured ~0.76 ms/step of the 3.5 ms per-step path on a
+    relay-attached v5e — the single largest decode cost) and lets XLA keep
+    the KV cache in place via donation.
+
+    token/pos [B] (pos = the absolute position of `token`); temps [B] f32
+    per-slot sampling temperatures (≤0 = greedy), or None for all-greedy —
+    None is STATIC and skips the categorical-sampling program entirely
+    (gumbel noise over [B, vocab] logits every step costs real VPU time;
+    the batcher passes None whenever no active slot samples). Inactive
+    batch slots should pass pos ≥ cache.max_len so their cache writes mask
+    away (qtpu.serve.kvcache.cache_layer_write T=1 path).
+
+    Returns (tokens [B, n_steps], cache) — tokens[:, i] is the token
+    sampled after step i; the caller trims per-slot output at EOS /
+    max_new_tokens (overshoot steps write only past-EOS positions, which
+    the next prefill into the slot overwrites before anything attends to
+    them — same invariant as prompt-pad writes, see serve.batching).
+    """
+
+    def step(carry, k):
+        tok, p, cache = carry
+        logits, cache = decode_step(params, tok, p, cache, cfg, qmeta, arch=arch)
+        nxt = mixed_sample(logits, temps, k)
+        return (nxt, p + 1, cache), nxt
+
+    keys = jax.random.split(key, n_steps)
+    (tok, p, cache), toks = jax.lax.scan(step, (token, pos, cache), keys)
+    return jnp.moveaxis(toks, 0, 1), cache
+
+
+def mixed_sample(logits, temps, key):
+    """Per-row sampling at per-row temperature: greedy where temps ≤ 0,
+    categorical at temps[i] otherwise; temps=None (static) = all greedy.
+    logits [B, V], temps [B] | None → [B]."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if temps is None:
+        return greedy
+    z = logits / jnp.maximum(temps, 1e-6)[:, None]
+    samp = jax.random.categorical(key, z, axis=-1)
+    return jnp.where(temps > 0.0, samp, greedy).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
     static_argnames=("cfg", "qmeta", "n_tokens", "temperature", "top_k", "top_p", "arch"),
 )
 def greedy_generate(

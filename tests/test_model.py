@@ -319,3 +319,45 @@ def test_w8a8_sites_never_fuse(setup):
     assert "qkv_proj" not in fused["layers"]
     lg = forward(fused, batches[0], cfg, qmeta=fmeta)
     assert bool(jnp.all(jnp.isfinite(lg)))
+
+
+def test_fold_smooth_matches_runtime_smooth(setup):
+    """fold_smooth moves input smooth vectors into the preceding norm /
+    up_proj output scales; the folded model must match the runtime-smooth
+    model to bf16 rounding, strip every foldable smooth key (o_proj keeps
+    its — GQA blocks the V-column fold), and unlock qkv/gateup fusion for
+    smoothquant (whose per-group shared vectors are new in pack_model)."""
+    from qtpu.quant.apply import fold_smooth, fuse_packed_sites
+
+    cfg, params, batches, stats = setup
+    for method, mcfg in [
+        ("smoothquant", {"w_bit": 4, "q_group_size": 64, "alpha": 0.5}),
+        (
+            "awq",
+            {
+                "w_bit": 4,
+                "q_group_size": 64,
+                "protect_ratio": 0.01,
+                "scale_factor": 2.0,
+            },
+        ),
+    ]:
+        packed, qmeta = pack_model(params, method, mcfg, stats)
+        assert "smooth" in packed["layers"]["q_proj"], method
+        folded, fmeta = fold_smooth(packed, qmeta)
+        for site in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                     "down_proj"):
+            assert "smooth" not in folded["layers"][site], (method, site)
+        assert "smooth" not in folded["lm_head"], method
+        assert "smooth" in folded["layers"]["o_proj"], method
+
+        a = forward(packed, batches[0], cfg, qmeta=qmeta)
+        b = forward(folded, batches[0], cfg, qmeta=fmeta)
+        rel = float(jnp.abs(a - b).mean() / jnp.abs(a).mean())
+        assert rel < 0.05, (method, rel)
+
+        fused, fumeta = fuse_packed_sites(folded, fmeta)
+        assert "qkv_proj" in fused["layers"], method
+        assert "gateup_proj" in fused["layers"], method
+        c = forward(fused, batches[0], cfg, qmeta=fumeta)
+        assert float(jnp.abs(b - c).max()) == 0.0, method

@@ -155,3 +155,63 @@ def test_pallas_decode_attention_matches_xla(KV):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("per_expert", [False, True])
+@pytest.mark.parametrize("stacked", [False, True])
+def test_pallas_moe_grouped_matches_per_expert(per_expert, stacked):
+    """The grouped MoE kernel (one launch, grid over experts) must match
+    E independent pallas_quantized_matmul calls exactly (same kernel body
+    per tile, same f32 accumulation order)."""
+    from qtpu.kernels.pallas_moe_matmul import pallas_moe_quantized_matmul
+
+    E, L, bits = 4, 3, 4
+    rng = np.random.default_rng(7)
+    meta = (bits, G, K, N)
+    packs = [
+        [
+            quantize_pack(
+                jnp.asarray(rng.standard_normal((K, N)).astype(np.float32)),
+                bits,
+                G,
+            )
+            for _ in range(E)
+        ]
+        for _ in range(L if stacked else 1)
+    ]
+
+    def stack(f):
+        a = jnp.stack([jnp.stack([f(q) for q in row]) for row in packs])
+        return a if stacked else a[0]
+
+    data = stack(lambda q: q.data)
+    scales = stack(lambda q: q.scales)
+    zeros = stack(lambda q: q.zeros)
+    l = 1 if stacked else None
+    row = packs[l if stacked else 0]
+
+    if per_expert:
+        x = jnp.asarray(rng.standard_normal((E, M, K)).astype(np.float32))
+    else:
+        x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+
+    out = pallas_moe_quantized_matmul(
+        x,
+        data,
+        scales,
+        zeros,
+        meta,
+        layer=None if l is None else jnp.int32(l),
+        per_expert_input=per_expert,
+        interpret=True,
+    )
+    assert out.shape == (E, M, N)
+    for e in range(E):
+        q = row[e]
+        xe = x[e] if per_expert else x
+        ref = pallas_quantized_matmul(
+            xe, q.data, q.scales, q.zeros, meta, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out[e]), np.asarray(ref), err_msg=f"expert {e}"
+        )
