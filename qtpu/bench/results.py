@@ -24,6 +24,12 @@ class BenchmarkResult:
         # account) and serving throughput (the reference has no serving)
         self.packed_size_bits: Optional[int] = None
         self.tokens_per_second: Optional[float] = None
+        # perplexity of the REALLY-PACKED serving artifact (integer codes +
+        # fused dequant kernels), next to the fake-quant number — the
+        # packed-vs-fake accuracy audit (e.g. APOT's 16-level packed
+        # codebook vs the reference's 32-level fake-quant cap)
+        self.packed_perplexity: Optional[float] = None
+        self.packed_error: Optional[str] = None
 
     def is_success(self) -> bool:
         return self.error is None and (
@@ -45,6 +51,10 @@ class BenchmarkResult:
             d["packed_size_bits"] = self.packed_size_bits
         if self.tokens_per_second is not None:
             d["tokens_per_second"] = self.tokens_per_second
+        if self.packed_perplexity is not None:
+            d["packed_perplexity"] = self.packed_perplexity
+        if self.packed_error is not None:
+            d["packed_error"] = self.packed_error
         return d
 
     def __str__(self) -> str:

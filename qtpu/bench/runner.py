@@ -258,6 +258,8 @@ class QuantizationBenchmark:
                 use_zero_point=method not in ("pot", "apot"),
             )
             result.runtime_seconds = time.time() - start
+            if self.config.get("packed_eval", False):
+                self._packed_eval(result, method, mcfg, stats)
             self.log(f"✓ {result}")
         except Exception as e:
             result.error = str(e)
@@ -265,6 +267,33 @@ class QuantizationBenchmark:
             self.log(f"✗ {name} - Error: {e}")
         self.results[name] = result
         return result
+
+    def _packed_eval(self, result, method, mcfg, stats):
+        """Packed-vs-fake accuracy audit ("packed_eval": true): evaluate
+        perplexity of the REALLY-PACKED artifact of the same method through
+        the fused dequant kernels (fold_smooth + fuse applied — the exact
+        serving path), recorded as packed_perplexity next to the fake-quant
+        number. Catches serving-only accuracy drift the reference cannot
+        even express: APOT's 4-bit code cap (16 levels vs fake-quant's 32),
+        GPTQ g_idx actorder gathers, smooth folding's bf16 re-rounding."""
+        from qtpu.quant.apply import fold_smooth, fuse_packed_sites, pack_model
+
+        try:
+            packed, qmeta = pack_model(
+                self.params, method, mcfg, stats, arch=self.model_cfg.arch
+            )
+            packed, qmeta = fold_smooth(packed, qmeta, arch=self.model_cfg.arch)
+            packed, qmeta = fuse_packed_sites(
+                packed, qmeta, arch=self.model_cfg.arch
+            )
+            result.packed_perplexity = self._eval(packed, qmeta=qmeta)
+            self.log(
+                f"  packed-vs-fake ppl: {result.packed_perplexity:.4f}"
+                f" vs {result.perplexity:.4f}"
+            )
+        except Exception as e:  # packed path failure must not kill the run
+            result.packed_error = str(e)
+            self.log(f"  packed eval failed: {e}")
 
     # shims matching the reference's per-method entry points
     def benchmark_awq(self):

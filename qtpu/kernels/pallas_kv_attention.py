@@ -26,7 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, kb):
+def _decode_attn_kernel(
+    pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, kb, window
+):
     """One program: `kb` kv-heads of one sequence (statically unrolled).
 
     Grid-step overhead is ~0.5 µs on v5e; at MHA head counts a
@@ -48,7 +50,10 @@ def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, 
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [G, S]
         scores = scores * ks[None, :] / jnp.sqrt(float(hd))
-        scores = jnp.where(s_idx <= pos, scores, -1e30)
+        valid = s_idx <= pos
+        if window > 0:  # sliding-window band (Mistral)
+            valid &= s_idx > pos - window
+        scores = jnp.where(valid, scores, -1e30)
 
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
@@ -60,10 +65,170 @@ def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, 
         o_ref[0, j] = out.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_decode_attention(q, k_c, v_c, ks_c, vs_c, pos, interpret=False):
+def _decode_attn_write_kernel(
+    pos_ref,
+    q_ref,
+    kn_ref,
+    vn_ref,
+    k_ref,
+    v_ref,
+    ks_ref,
+    vs_ref,
+    o_ref,
+    ko_ref,
+    vo_ref,
+    kso_ref,
+    vso_ref,
+    *,
+    kb,
+    window,
+):
+    """Fused decode step: quantize+write this step's K/V row into the int8
+    cache AND compute attention over the updated cache, in one pass.
+
+    The separate masked-select cache write costs ~0.49 ms/step and the
+    standalone attention kernel ~0.62 ms/step on v5e (TinyLlama B=8 —
+    measured by stripping each from the full decode program); both stream
+    the same [S, hd] tiles, so fusing halves the cache traffic and drops
+    one kernel launch + XLA pass per layer. Cache tiles are input/output
+    aliased — the tile is already in VMEM for the scores, and the write-
+    back is the row blend."""
+    b = pl.program_id(0)
+    G, hd = q_ref.shape[2], q_ref.shape[3]
+    S = k_ref.shape[2]
+    pos = pos_ref[b]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    row_hit = jax.lax.broadcasted_iota(jnp.int32, (S, hd), 0) == pos  # [S,hd]
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) == pos  # [S,1]
+    for j in range(kb):  # static unroll over the kv-head block
+        # quantize the new K/V row (absmax over hd → one f32 scale)
+        kn = kn_ref[0, j, 0].astype(jnp.float32)  # [hd]
+        vn = vn_ref[0, j, 0].astype(jnp.float32)
+        k_sc = jnp.clip(jnp.max(jnp.abs(kn)) / 127.0, 1e-8, None)
+        v_sc = jnp.clip(jnp.max(jnp.abs(vn)) / 127.0, 1e-8, None)
+        kq = jnp.clip(jnp.round(kn / k_sc), -127, 127)  # [hd] f32 codes
+        vq = jnp.clip(jnp.round(vn / v_sc), -127, 127)
+
+        # blend row into the cache tile (positions ≥ S never hit → no-op)
+        k_bl = jnp.where(row_hit, kq[None, :], k_ref[0, j].astype(jnp.float32))
+        v_bl = jnp.where(row_hit, vq[None, :], v_ref[0, j].astype(jnp.float32))
+        ks_bl = jnp.where(srow, k_sc, ks_ref[0, j].astype(jnp.float32))
+        vs_bl = jnp.where(srow, v_sc, vs_ref[0, j].astype(jnp.float32))
+        ko_ref[0, j] = k_bl.astype(jnp.int8)
+        vo_ref[0, j] = v_bl.astype(jnp.int8)
+        kso_ref[0, j] = ks_bl.astype(jnp.float32)
+        vso_ref[0, j] = vs_bl.astype(jnp.float32)
+
+        q = q_ref[0, j].astype(jnp.float32)  # [G, hd]
+        scores = jax.lax.dot_general(
+            q, k_bl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, S]
+        scores = scores * ks_bl[:, 0][None, :] / jnp.sqrt(float(hd))
+        valid = s_idx <= pos
+        if window > 0:
+            valid &= s_idx > pos - window
+        scores = jnp.where(valid, scores, -1e30)
+
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
+        out = jnp.dot(
+            p * vs_bl[:, 0][None, :], v_bl, preferred_element_type=jnp.float32
+        )
+        o_ref[0, j] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("window", "interpret"), donate_argnums=(3, 4, 5, 6))
+def pallas_decode_attention_write(
+    q, k_new, v_new, k_c, v_c, ks_c, vs_c, pos, window: int = 0,
+    interpret=False,
+):
+    """Fused quantize-write + int8-cache attention for one decode step.
+
+    q [B, H, hd] (post-rope); k_new/v_new [B, 1, KV, hd] (post-rope, the
+    row being written at pos); k_c/v_c [B, KV, S, hd] int8 and ks_c/vs_c
+    [B, KV, S] f32 (donated — updated in place via input/output aliasing).
+    pos [B]: write position == query position; rows with pos ≥ S write
+    nothing (inactive batcher slots). Returns
+    (out [B, H, hd], k_c, v_c, ks_c, vs_c) updated."""
+    B, H, hd = q.shape
+    KV, S = k_c.shape[1], k_c.shape[2]
+    if H % KV or S % 8 or hd % 8:
+        raise NotImplementedError("decode attention needs H%KV==0, S%8==0")
+    G = H // KV
+    q4 = q.reshape(B, KV, G, hd)
+    kn = jnp.swapaxes(k_new, 1, 2)  # [B, KV, 1, hd]
+    vn = jnp.swapaxes(v_new, 1, 2)
+
+    kb = max(1, min(KV, (4 * 1024 * 1024) // (2 * S * hd)))
+    while KV % kb:
+        kb -= 1
+
+    def ix(b, h, pos):
+        return (b, h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KV // kb),
+        in_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((1, kb, S, 1), ix),
+            pl.BlockSpec((1, kb, S, 1), ix),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((1, kb, S, 1), ix),
+            pl.BlockSpec((1, kb, S, 1), ix),
+        ],
+    )
+    out, k_o, v_o, ks_o, vs_o = pl.pallas_call(
+        partial(_decode_attn_write_kernel, kb=kb, window=int(window)),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+            jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
+            jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
+            jax.ShapeDtypeStruct((B, KV, S, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV, S, 1), jnp.float32),
+        ],
+        # +1 for the scalar-prefetch operand: positional inputs are
+        # (pos, q, kn, vn, k_c, v_c, ks_c, vs_c) → cache tensors 4..7
+        # alias outputs 1..4
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        interpret=interpret,
+    )(
+        pos.astype(jnp.int32),
+        q4,
+        kn,
+        vn,
+        k_c,
+        v_c,
+        ks_c[..., None],
+        vs_c[..., None],
+    )
+    return (
+        out.reshape(B, H, hd),
+        k_o,
+        v_o,
+        ks_o[..., 0],
+        vs_o[..., 0],
+    )
+
+
+@partial(jax.jit, static_argnames=("window", "interpret"))
+def pallas_decode_attention(
+    q, k_c, v_c, ks_c, vs_c, pos, window: int = 0, interpret=False
+):
     """q [B, H, hd]; k_c/v_c [B, KV, S, hd] int8; ks_c/vs_c [B, KV, S] f32;
-    pos [B] (attend keys ≤ pos). Returns [B, H, hd] in q.dtype."""
+    pos [B] (attend keys ≤ pos; window > 0 additionally bounds keys to the
+    last `window` positions). Returns [B, H, hd] in q.dtype."""
     B, H, hd = q.shape
     KV, S = k_c.shape[1], k_c.shape[2]
     if H % KV or S % 8 or hd % 8:
@@ -105,7 +270,7 @@ def pallas_decode_attention(q, k_c, v_c, ks_c, vs_c, pos, interpret=False):
     )
 
     out = pl.pallas_call(
-        partial(_decode_attn_kernel, kb=kb),
+        partial(_decode_attn_kernel, kb=kb, window=int(window)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
         interpret=interpret,

@@ -41,6 +41,10 @@ class ModelConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 2
     norm_topk_prob: bool = True
+    # Qwen2-MoE: an always-on shared expert (SwiGLU with this intermediate
+    # size) whose output is added to the routed-expert mix through a
+    # sigmoid gate. 0 = no shared expert (Mixtral).
+    shared_expert_intermediate_size: int = 0
 
     def replace(self, **kw) -> "ModelConfig":
         return replace(self, **kw)
@@ -157,6 +161,44 @@ MIXTRAL_8X7B = ModelConfig(
     max_seq_len=4096,
     num_experts=8,
     num_experts_per_tok=2,
+)
+
+# Qwen2-57B-A14B (Qwen2-MoE): 64 experts top-8, norm_topk_prob=False,
+# always-on shared expert with its own sigmoid gate, q/k/v bias
+QWEN2_MOE_A14B = ModelConfig(
+    arch="moe",
+    vocab_size=151936,
+    hidden_size=3584,
+    intermediate_size=2560,
+    num_layers=28,
+    num_heads=28,
+    num_kv_heads=4,
+    head_dim=128,
+    rope_theta=1e6,
+    norm_eps=1e-6,
+    max_seq_len=4096,
+    attention_bias=True,
+    num_experts=64,
+    num_experts_per_tok=8,
+    norm_topk_prob=False,
+    shared_expert_intermediate_size=20480,
+)
+
+TINY_QWEN2_MOE_TEST = ModelConfig(
+    arch="moe",
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=64,
+    max_seq_len=512,
+    attention_bias=True,
+    num_experts=4,
+    num_experts_per_tok=2,
+    norm_topk_prob=False,
+    shared_expert_intermediate_size=256,
 )
 
 OPT_125M = ModelConfig(
@@ -284,6 +326,9 @@ PRESET_MODELS = {
     "mixtral-8x7b": MIXTRAL_8X7B,
     "mistralai/Mixtral-8x7B-v0.1": MIXTRAL_8X7B,
     "tiny-moe-test": TINY_MOE_TEST,
+    "qwen2-moe-a14b": QWEN2_MOE_A14B,
+    "Qwen/Qwen2-57B-A14B": QWEN2_MOE_A14B,
+    "tiny-qwen2-moe-test": TINY_QWEN2_MOE_TEST,
     "gpt2": GPT2_SMALL,
     "gpt2-random": GPT2_SMALL,
     "opt-125m": OPT_125M,

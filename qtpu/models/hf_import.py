@@ -56,7 +56,7 @@ def config_from_hf(ckpt_dir: str) -> ModelConfig:
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         hf = json.load(f)
     mt = hf.get("model_type", "llama")
-    if mt not in ("llama", "mistral", "qwen2", "mixtral"):
+    if mt not in ("llama", "mistral", "qwen2", "mixtral", "qwen2_moe"):
         raise ValueError(
             f"config_from_hf handles llama-family checkpoints, got "
             f"model_type={mt!r} (use load_gpt2_params/load_opt_params "
@@ -70,15 +70,23 @@ def config_from_hf(ckpt_dir: str) -> ModelConfig:
     # HF semantics: Mistral applies the window iff sliding_window is not
     # null; Qwen2 additionally gates it behind use_sliding_window.
     sw = hf.get("sliding_window")
-    if mt == "qwen2" and not hf.get("use_sliding_window", False):
+    if mt in ("qwen2", "qwen2_moe") and not hf.get("use_sliding_window", False):
         sw = None
     if mt == "llama":
         sw = None
+    moe = mt in ("mixtral", "qwen2_moe")
+    # Qwen2-MoE: routed experts use moe_intermediate_size; num_experts is
+    # the qwen2_moe key, num_local_experts the mixtral key
+    inter = (
+        hf.get("moe_intermediate_size", hf["intermediate_size"])
+        if mt == "qwen2_moe"
+        else hf["intermediate_size"]
+    )
     return ModelConfig(
-        arch="moe" if mt == "mixtral" else "llama",
+        arch="moe" if moe else "llama",
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
-        intermediate_size=hf["intermediate_size"],
+        intermediate_size=inter,
         num_layers=hf["num_hidden_layers"],
         num_heads=hf["num_attention_heads"],
         num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
@@ -87,10 +95,18 @@ def config_from_hf(ckpt_dir: str) -> ModelConfig:
         norm_eps=hf.get("rms_norm_eps", 1e-5),
         max_seq_len=hf.get("max_position_embeddings", 2048),
         tie_embeddings=hf.get("tie_word_embeddings", False),
-        attention_bias=bool(hf.get("attention_bias", mt == "qwen2")),
+        attention_bias=bool(
+            hf.get("attention_bias", mt in ("qwen2", "qwen2_moe"))
+        ),
         sliding_window=int(sw) if sw else 0,
-        num_experts=int(hf.get("num_local_experts", 0)),
+        num_experts=int(
+            hf.get("num_experts", hf.get("num_local_experts", 0))
+        ),
         num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+        norm_topk_prob=bool(hf.get("norm_topk_prob", mt == "mixtral")),
+        shared_expert_intermediate_size=int(
+            hf.get("shared_expert_intermediate_size", 0)
+        ),
     )
 
 
@@ -147,10 +163,17 @@ def load_llama_params(
 
 
 def load_moe_params(ckpt_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict:
-    """HF MixtralForCausalLM state dict → qtpu moe pytree (router
-    [L, D, E], experts stacked [L, E, ...]; HF w1=gate, w3=up, w2=down)."""
+    """HF MixtralForCausalLM / Qwen2MoeForCausalLM state dict → qtpu moe
+    pytree (router [L, D, E], experts stacked [L, E, ...]).
+
+    Key styles: Mixtral `block_sparse_moe.gate` + `experts.{e}.w1/w3/w2`
+    (w1=gate, w3=up, w2=down); Qwen2-MoE `mlp.gate` +
+    `mlp.experts.{e}.gate_proj/up_proj/down_proj` plus the always-on
+    `mlp.shared_expert.*` and its `mlp.shared_expert_gate`, and q/k/v
+    biases."""
     sd = _load_state_dict(ckpt_dir)
     L, E = cfg.num_layers, cfg.num_experts
+    qwen_style = "model.layers.0.mlp.gate.weight" in sd
 
     def get(name):
         return np.asarray(sd[name])
@@ -165,6 +188,13 @@ def load_moe_params(ckpt_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict
             np.stack([get(fmt.format(i)) for i in range(L)]), dtype
         )
 
+    if qwen_style:
+        moe_prefix = "mlp"
+        names = {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
+    else:
+        moe_prefix = "block_sparse_moe"
+        names = {"gate": "w1", "up": "w3", "down": "w2"}
+
     def stack_experts(which):
         # [L, E, in, out] from per-expert [out, in] weights
         return jnp.asarray(
@@ -173,8 +203,8 @@ def load_moe_params(ckpt_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict
                     np.stack(
                         [
                             get(
-                                f"model.layers.{i}.block_sparse_moe."
-                                f"experts.{e}.{which}.weight"
+                                f"model.layers.{i}.{moe_prefix}."
+                                f"experts.{e}.{names[which]}.weight"
                             ).T
                             for e in range(E)
                         ]
@@ -195,13 +225,31 @@ def load_moe_params(ckpt_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16) -> dict
             "k_proj": {"w": stack_T(prefix + "self_attn.k_proj.weight")},
             "v_proj": {"w": stack_T(prefix + "self_attn.v_proj.weight")},
             "o_proj": {"w": stack_T(prefix + "self_attn.o_proj.weight")},
-            "router": {"w": stack_T(prefix + "block_sparse_moe.gate.weight")},
-            "exp_gate": {"w": stack_experts("w1")},
-            "exp_up": {"w": stack_experts("w3")},
-            "exp_down": {"w": stack_experts("w2")},
+            "router": {"w": stack_T(prefix + f"{moe_prefix}.gate.weight")},
+            "exp_gate": {"w": stack_experts("gate")},
+            "exp_up": {"w": stack_experts("up")},
+            "exp_down": {"w": stack_experts("down")},
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
     }
+    if cfg.attention_bias:
+        for site in ("q_proj", "k_proj", "v_proj"):
+            params["layers"][site]["b"] = stack(
+                prefix + f"self_attn.{site}.bias"
+            )
+    if cfg.shared_expert_intermediate_size > 0:
+        params["layers"]["sh_gate"] = {
+            "w": stack_T(prefix + "mlp.shared_expert.gate_proj.weight")
+        }
+        params["layers"]["sh_up"] = {
+            "w": stack_T(prefix + "mlp.shared_expert.up_proj.weight")
+        }
+        params["layers"]["sh_down"] = {
+            "w": stack_T(prefix + "mlp.shared_expert.down_proj.weight")
+        }
+        params["layers"]["sh_router"] = {
+            "w": stack_T(prefix + "mlp.shared_expert_gate.weight")
+        }
     if cfg.tie_embeddings or "lm_head.weight" not in sd:
         params["lm_head"] = {"w": params["embed"].T}
     else:

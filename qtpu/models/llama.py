@@ -176,50 +176,60 @@ def _collect(x, capture: str):
     return out
 
 
-def _use_stacked_weights(layers, L: int, T: int = 1, qmeta_d=None) -> bool:
-    """Weight-delivery policy (see _layer_fwd_cached).
+def _delivery_mode(layers, L: int, T: int = 1) -> str:
+    """Weight-delivery policy (see _layer_fwd_cached / forward_with_cache).
 
-    Decode (T == 1): always scalar-prefetch stacked kernels — inside a
-    multi-step scanned decode, xs staging makes XLA copy every layer's
-    packed weights each step (measured 1.76 ms vs 1.20 ms for the
-    matmuls of a TinyLlama W4 decode step on v5e; round-1's pro-staging
-    measurement was an artifact of per-step Python dispatch).
-    Prefill (T > 1): xs staging while one layer's weights double-buffer
-    in VMEM (≤ ~half of v5e's 128 MB) — prefill is MXU-bound and the
-    staging copy overlaps compute; stacked kernels beyond that.
-    QTPU_STACKED_WEIGHTS overrides (1/0)."""
+    Measured full-model decode on v5e (TinyLlama W4, scanned 50-step
+    blocks, ms/step): xs staging 2.79, scalar-prefetch stacked 3.67 —
+    staging prefetches the NEXT layer's weights during this layer's
+    attention/cache work, which on-demand scalar-prefetch DMA cannot
+    overlap (even though the stacked matmuls ALONE are faster, 1.20 vs
+    1.76: the gap is the staging copy, but it buys overlap that matters
+    more in the full step). "unrolled" trades one lax.scan for L inlined
+    layer bodies whose weight slices are STATIC — kernels read HBM
+    directly with no staging copy and no scalar-prefetch indirection.
+
+    Returns "unrolled" | "staged" | "stacked". Full-model decode measured
+    (TinyLlama W4, scanned 50-step blocks, ms/step): staged 2.79,
+    unrolled 3.49, stacked 3.67 — even though the stacked matmuls ALONE
+    beat staged (1.20 vs 1.76 ms), both direct-HBM modes serialize
+    against the cache/attention work where the staging copy pipelines, so
+    staged stays the default for models whose per-layer weights fit VMEM
+    double-buffering. QTPU_DECODE_DELIVERY overrides (one of the three
+    strings; or the legacy QTPU_STACKED_WEIGHTS 1/0 for stacked/staged)."""
     import os
 
+    env = os.environ.get("QTPU_DECODE_DELIVERY")
+    if env in ("unrolled", "staged", "stacked"):
+        return env
     env = os.environ.get("QTPU_STACKED_WEIGHTS")
     if env is not None:
-        return env == "1"
-    affine_packed = any(
-        isinstance(site, dict)
-        and "data" in site
-        and "codebook" not in site
-        and "perm" not in site
-        for site in layers.values()
-    ) and not any(
-        len(m) == 5 for m in (qmeta_d or {}).values()
-    )
-    if T == 1 and affine_packed:
-        return True
+        return "stacked" if env == "1" else "staged"
     per_layer = sum(
         a.nbytes
         for site in layers.values()
         if isinstance(site, dict)
         for a in jax.tree_util.tree_leaves(site)
     ) // max(L, 1)
-    return per_layer > 56 * 1024 * 1024
+    if per_layer > 56 * 1024 * 1024:
+        return "stacked"
+    return "staged"
 
 
-def _cached_attention(q, layer_kv, mask, cfg: ModelConfig):
+def _use_stacked_weights(layers, L: int, T: int = 1, qmeta_d=None) -> bool:
+    return _delivery_mode(layers, L, T) == "stacked"
+
+
+def _cached_attention(q, layer_kv, mask, cfg: ModelConfig, pos=None):
     """q [B,T,H,hd] against a full cache layer [B,KV,S,hd] (bf16 or int8 +
-    [B,KV,S] scales). mask [B,T,S] True=attend.
+    [B,KV,S] scales). mask [B,T,S] True=attend; pos [B] = the query's
+    absolute position (T = 1 callers pass it so banded masks need no
+    mask-row reconstruction).
 
     Decode (T=1, int8 cache) dispatches to the Pallas kernel on TPU, which
-    reads the int8 K/V directly (no bf16 KV materialization); other shapes
-    take the XLA path below.
+    reads the int8 K/V directly (no bf16 KV materialization) and applies
+    the sliding-window band in-kernel; other shapes take the XLA path
+    below.
     """
     from qtpu.serve.kvcache import dequantize_kv
 
@@ -232,18 +242,23 @@ def _cached_attention(q, layer_kv, mask, cfg: ModelConfig):
         and ks_c is not None
         and jax.default_backend() == "tpu"
         and H % KV == 0
-        # the kernel derives the query position from a pure-causal mask
-        # row; a banded (sliding-window) mask breaks that, so windowed
-        # models take the XLA path whenever the window can bind
-        and (cfg.sliding_window <= 0 or cfg.sliding_window >= k_c.shape[2])
     ):
         try:
             from qtpu.kernels.pallas_kv_attention import pallas_decode_attention
 
-            # mask[:, 0, :] encodes "key position ≤ query position"
-            pos = jnp.sum(mask[:, 0, :].astype(jnp.int32), axis=-1) - 1  # [B]
+            if pos is None:
+                # mask[:, 0, :] encodes "key position ≤ query position";
+                # only valid for pure-causal masks
+                if 0 < cfg.sliding_window < k_c.shape[2]:
+                    raise NotImplementedError("banded mask needs pos")
+                pos = jnp.sum(mask[:, 0, :].astype(jnp.int32), axis=-1) - 1
+            win = (
+                cfg.sliding_window
+                if 0 < cfg.sliding_window < k_c.shape[2]
+                else 0
+            )
             out = pallas_decode_attention(
-                q[:, 0], k_c, v_c, ks_c, vs_c, pos
+                q[:, 0], k_c, v_c, ks_c, vs_c, pos, window=win
             )
             return out.reshape(B, 1, H * hd)
         except NotImplementedError:
@@ -267,6 +282,49 @@ def _cached_attention(q, layer_kv, mask, cfg: ModelConfig):
     return out.reshape(B, T, H * hd)
 
 
+def _write_and_attend(q, k, v, layer_kv, start, mask, cfg: ModelConfig):
+    """KV-cache write + attention for one layer. Decode (T = 1, int8
+    cache, TPU) fuses both into one Pallas pass
+    (pallas_decode_attention_write): the separate masked-select write and
+    the attention kernel each stream the whole [S, hd] cache tile
+    (measured ~0.49 + ~0.62 ms/step on v5e at TinyLlama B=8), and the
+    fused kernel halves that traffic via input/output-aliased tiles.
+    Other shapes: plain write + _cached_attention."""
+    from qtpu.serve.kvcache import cache_layer_write
+
+    B, T, H, hd = q.shape
+    KV = k.shape[2]
+    quantized = layer_kv[2] is not None
+    if (
+        T == 1
+        and quantized
+        and jax.default_backend() == "tpu"
+        and H % KV == 0
+    ):
+        try:
+            from qtpu.kernels.pallas_kv_attention import (
+                pallas_decode_attention_write,
+            )
+
+            k_c, v_c, ks_c, vs_c = layer_kv
+            win = (
+                cfg.sliding_window
+                if 0 < cfg.sliding_window < k_c.shape[2]
+                else 0
+            )
+            out, k_c, v_c, ks_c, vs_c = pallas_decode_attention_write(
+                q[:, 0], k, v, k_c, v_c, ks_c, vs_c, start, window=win
+            )
+            return out.reshape(B, 1, H * hd), (k_c, v_c, ks_c, vs_c)
+        except NotImplementedError:
+            pass
+    layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
+    attn = _cached_attention(
+        q, layer_kv, mask, cfg, pos=(start if T == 1 else None)
+    )
+    return attn, layer_kv
+
+
 def _layer_fwd_cached(
     x, layers, l, norms, layer_kv, start, rope, mask, cfg: ModelConfig, qmeta
 ):
@@ -283,20 +341,16 @@ def _layer_fwd_cached(
       to double-buffer in VMEM (7B-class and up).
     norms: this layer's (attn_norm, mlp_norm) rows.
     start: [B] write offsets. Returns (x_out, updated layer_kv)."""
-    from qtpu.serve.kvcache import cache_layer_write
-
     attn_norm, mlp_norm = norms
     cos, sin = rope
     B, T, D = x.shape
     qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
-    quantized = layer_kv[2] is not None
 
     h = rms_norm(x, attn_norm, cfg.norm_eps)
     q, k, v = _qkv(h, layers, cfg, qm, layer=l)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
-    attn = _cached_attention(q, layer_kv, mask, cfg)
+    attn, layer_kv = _write_and_attend(q, k, v, layer_kv, start, mask, cfg)
     x = x + linear(attn, layers["o_proj"], qm("o_proj"), layer=l)
 
     h = rms_norm(x, mlp_norm, cfg.norm_eps)
@@ -333,32 +387,53 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
     layers = params["layers"]
     L = cache.k.shape[0]
     cache_xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
-    if _use_stacked_weights(layers, L, T, qmeta_d):
-        def body(x, xs):
-            l, an, mn, kc, vc, ksc, vsc = xs
-            x, layer_kv = _layer_fwd_cached(
-                x, layers, l, (an, mn), (kc, vc, ksc, vsc), start, rope,
-                mask, cfg, qmeta_d,
+    mode = _delivery_mode(layers, L, T)
+    if mode == "unrolled":
+        # L inlined layer bodies with STATIC weight/cache slices: kernels
+        # read each site straight from HBM (no xs staging copy, no
+        # scalar-prefetch indirection) and XLA schedules across layer
+        # boundaries. Decode-only (T == 1): the body is small, so L-fold
+        # trace/compile growth stays manageable.
+        new_kv = []
+        for l in range(L):
+            lp = jax.tree_util.tree_map(lambda a: a[l], layers)
+            layer_kv = tuple(c if c is None else c[l] for c in cache_xs)
+            x, lkv = _layer_fwd_cached(
+                x, lp, None, (lp["attn_norm"], lp["mlp_norm"]), layer_kv,
+                start, rope, mask, cfg, qmeta_d,
             )
-            return x, layer_kv
-
-        xs = (
-            jnp.arange(L, dtype=jnp.int32),
-            layers["attn_norm"],
-            layers["mlp_norm"],
-        ) + cache_xs
+            new_kv.append(lkv)
+        k_new, v_new, ks_new, vs_new = (
+            None if new_kv[0][i] is None else jnp.stack([t[i] for t in new_kv])
+            for i in range(4)
+        )
     else:
-        def body(x, xs):
-            lp, kc, vc, ksc, vsc = xs
-            x, layer_kv = _layer_fwd_cached(
-                x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
-                (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d,
-            )
-            return x, layer_kv
+        if mode == "stacked":
+            def body(x, xs):
+                l, an, mn, kc, vc, ksc, vsc = xs
+                x, layer_kv = _layer_fwd_cached(
+                    x, layers, l, (an, mn), (kc, vc, ksc, vsc), start, rope,
+                    mask, cfg, qmeta_d,
+                )
+                return x, layer_kv
 
-        xs = (layers,) + cache_xs
+            xs = (
+                jnp.arange(L, dtype=jnp.int32),
+                layers["attn_norm"],
+                layers["mlp_norm"],
+            ) + cache_xs
+        else:
+            def body(x, xs):
+                lp, kc, vc, ksc, vsc = xs
+                x, layer_kv = _layer_fwd_cached(
+                    x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
+                    (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d,
+                )
+                return x, layer_kv
 
-    x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
+            xs = (layers,) + cache_xs
+
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     qmh = None if qmeta_d is None else qmeta_d.get("lm_head")
     logits = linear(x, params["lm_head"], qmh).astype(jnp.float32)

@@ -47,31 +47,41 @@ LAYER_SITES = (
     "exp_gate",
     "exp_up",
     "exp_down",
+    # Qwen2-MoE only (absent on Mixtral models — consumers skip absent
+    # sites): the always-on shared expert and its sigmoid gate
+    "sh_gate",
+    "sh_up",
+    "sh_down",
+    "sh_router",
 )
-INPUT_SITES = ("attn_in", "o_in", "mlp_in", "exp_down_in", "head_in")
+INPUT_SITES = (
+    "attn_in", "o_in", "mlp_in", "exp_down_in", "sh_down_in", "head_in"
+)
 SITE_OF_INPUT = {
     "attn_in": ("q_proj", "k_proj", "v_proj"),
     "o_in": ("o_proj",),
-    "mlp_in": ("router", "exp_gate", "exp_up"),
+    "mlp_in": ("router", "exp_gate", "exp_up", "sh_gate", "sh_up", "sh_router"),
     "exp_down_in": ("exp_down",),
+    "sh_down_in": ("sh_down",),
     "head_in": ("lm_head",),
 }
-ROW_PARALLEL_SITES = ("o_proj",)
+ROW_PARALLEL_SITES = ("o_proj", "sh_down")
 # sites with a [L, E, ...] expert axis: quantizers flatten L·E, the mesh
 # shards E over `model` (expert parallelism)
 EXPERT_SITES = ("exp_gate", "exp_up", "exp_down")
 # input sites whose stats carry a per-expert axis ([.., L, E, C])
 EXPERT_INPUT_SITES = ("exp_down_in",)
-# the router ([D, E], E ~ 8) is far too narrow for the MXU-tiled packed
-# kernels and negligible in size — pack_model keeps it dense
-PACK_DENSE_SITES = ("router",)
+# the router ([D, E], E ~ 8-64) and the shared-expert sigmoid gate
+# ([D, 1]) are far too narrow for the MXU-tiled packed kernels and
+# negligible in size — pack_model keeps them dense
+PACK_DENSE_SITES = ("router", "sh_router")
 
 
 def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
     """Random-init MoE params; same layout contract as llama.init_params
     plus router [L, D, E] and expert sites [L, E, ...]."""
     assert cfg.num_experts > 1, "arch='moe' needs num_experts > 1"
-    k = jax.random.split(key, 16)
+    k = jax.random.split(key, 20)
     D, F, V, L, E = (
         cfg.hidden_size,
         cfg.intermediate_size,
@@ -101,6 +111,17 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
         "final_norm": jnp.ones((D,), dtype),
         "lm_head": {"w": w(k[9], D, V)},
     }
+    Fs = cfg.shared_expert_intermediate_size
+    if Fs > 0:  # Qwen2-MoE shared expert + sigmoid gate
+        params["layers"]["sh_gate"] = {"w": w(k[10], L, D, Fs)}
+        params["layers"]["sh_up"] = {"w": w(k[11], L, D, Fs)}
+        params["layers"]["sh_down"] = {"w": w(k[12], L, Fs, D)}
+        params["layers"]["sh_router"] = {"w": w(k[13], L, D, 1)}
+    if cfg.attention_bias:  # Qwen2: bias on q/k/v only
+        for kk, (site, n) in zip(
+            k[16:19], (("q_proj", Q), ("k_proj", KV), ("v_proj", KV))
+        ):
+            params["layers"][site]["b"] = w(kk, L, n)
     return params
 
 
@@ -223,7 +244,21 @@ def _moe_mlp(h, lp, cfg: ModelConfig, qm, capture: str = "none", layer=None):
         "bse,bsed->bsd", route_w, d.astype(jnp.float32)
     ).astype(h.dtype)
     stats = _routed_stats(act, route_w, capture) if capture != "none" else None
-    return out, stats
+    sh_stats = None
+    if "sh_gate" in lp:  # Qwen2-MoE always-on shared expert, sigmoid-gated
+        sg = linear(h, lp["sh_gate"], qm("sh_gate"), layer=layer)
+        su = linear(h, lp["sh_up"], qm("sh_up"), layer=layer)
+        sact = jax.nn.silu(sg.astype(jnp.float32)).astype(h.dtype) * su
+        if capture != "none":
+            sh_stats = _collect(sact, capture)
+        sd = linear(sact, lp["sh_down"], qm("sh_down"), layer=layer)
+        gate = jax.nn.sigmoid(
+            linear(h, lp["sh_router"], qm("sh_router"), layer=layer).astype(
+                jnp.float32
+            )
+        )
+        out = out + (gate * sd.astype(jnp.float32)).astype(h.dtype)
+    return out, stats, sh_stats
 
 
 def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
@@ -246,9 +281,11 @@ def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
     if capture != "none":
         stats["mlp_in"] = _collect(h, capture)
-    mlp, down_stats = _moe_mlp(h, lp, cfg, qm, capture)
+    mlp, down_stats, sh_stats = _moe_mlp(h, lp, cfg, qm, capture)
     if capture != "none":
         stats["exp_down_in"] = down_stats
+        if sh_stats is not None:
+            stats["sh_down_in"] = sh_stats
     x = x + mlp
     return x, (stats if capture != "none" else None)
 
@@ -296,23 +333,21 @@ def _layer_fwd_cached(x, layers, l, norms, layer_kv, start, rope, mask, cfg, qme
     is the full [L, ...]-stacked dict read through scalar-prefetch kernels
     (ops.linear for attention sites, the grouped MoE kernel for [L, E, ..]
     expert sites — zero staging copies)."""
-    from qtpu.serve.kvcache import cache_layer_write
+    from qtpu.models.llama import _write_and_attend
 
     attn_norm, mlp_norm = norms
     cos, sin = rope
     qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
-    quantized = layer_kv[2] is not None
 
     h = rms_norm(x, attn_norm, cfg.norm_eps)
     q, k, v = _qkv(h, layers, cfg, qm, layer=l)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    layer_kv = cache_layer_write(layer_kv, k, v, start, quantized)
-    attn = _cached_attention(q, layer_kv, mask, cfg)
+    attn, layer_kv = _write_and_attend(q, k, v, layer_kv, start, mask, cfg)
     x = x + linear(attn, layers["o_proj"], qm("o_proj"), layer=l)
 
     h = rms_norm(x, mlp_norm, cfg.norm_eps)
-    mlp, _ = _moe_mlp(h, layers, cfg, qm, layer=l)
+    mlp, _, _ = _moe_mlp(h, layers, cfg, qm, layer=l)
     return x + mlp, layer_kv
 
 

@@ -122,19 +122,15 @@ def causal_attention(q, k, v, mask, window: int = 0):
     """Full-sequence causal attention with GQA. q [B,S,H,hd],
     k/v [B,S,KV,hd], mask [1|B,1,S,S] → [B,S,H·hd].
 
-    On TPU at flash-tileable sizes, dispatches to the Pallas flash
-    kernel (O(S·hd) memory, no [H,S,S] score tensor in HBM); otherwise
-    the XLA einsum path. window > 0 (sliding-window models, with the band
-    already encoded in `mask`) forces the XLA path — the flash kernel
-    assumes a pure-causal mask."""
+    On TPU at flash-tileable sizes, dispatches to the Pallas flash kernel
+    (O(S·hd) memory, no [H,S,S] score tensor in HBM; GQA heads read their
+    shared KV head in the kernel's index map — no repeat; sliding-window
+    bands masked in-kernel); otherwise the XLA einsum path below (which
+    needs the repeat)."""
     B, S, H, hd = q.shape
     KV = k.shape[2]
-    if KV != H:
-        rep = H // KV
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
 
-    if jax.default_backend() == "tpu" and S % 128 == 0 and window == 0:
+    if jax.default_backend() == "tpu" and S % 128 == 0 and H % KV == 0:
         try:
             from qtpu.kernels.pallas_flash_attention import pallas_flash_attention
 
@@ -142,11 +138,16 @@ def causal_attention(q, k, v, mask, window: int = 0):
                 jnp.swapaxes(q, 1, 2),
                 jnp.swapaxes(k, 1, 2),
                 jnp.swapaxes(v, 1, 2),
+                window=window,
             )
             return jnp.swapaxes(out, 1, 2).reshape(B, S, H * hd)
         except NotImplementedError:
             pass
 
+    if KV != H:
+        rep = H // KV
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
     scores = jnp.einsum(
         "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(float(hd))

@@ -112,6 +112,8 @@ def _map_sites(params: dict, fn, arch, stats=None):
     new = dict(params)
     new_layers = dict(params["layers"])
     for site in arch.LAYER_SITES:
+        if site not in params["layers"]:
+            continue  # optional sites (e.g. Qwen2-MoE shared expert)
         new_layers[site] = rebuild(site, params["layers"][site], True)
     new["layers"] = new_layers
     new["lm_head"] = rebuild("lm_head", params["lm_head"], False)

@@ -31,6 +31,7 @@ TINY_BENCH_CONFIG = {
         "pot": {"w_bit": 8, "q_group_size": 64, "grid_step": 0.2},
         "smoothquant": {"w_bit": 8, "q_group_size": 64, "alpha": 0.5},
     },
+    "packed_eval": True,
     "verbose": False,
 }
 
@@ -182,3 +183,21 @@ def test_results_record_environment(tmp_path):
     rec = json.loads(out.read_text())
     assert rec["environment"]["backend"] in ("cpu", "tpu")
     assert rec["environment"]["jax_version"]
+
+
+def test_packed_eval_column(bench_run):
+    """"packed_eval": true records the really-packed serving artifact's
+    perplexity next to the fake-quant number (packed-vs-fake audit). For
+    RTN-family methods the packed path is the same math as fake-quant, so
+    the two perplexities must agree closely; pot@w8 has no packed form
+    (codebook packing is 4-bit) and must record packed_error instead of
+    failing the run."""
+    bench, saved = bench_run
+    for name in ("rtn", "awq", "smoothquant"):
+        r = bench.results[name]
+        assert r.packed_perplexity is not None, name
+        assert (
+            abs(r.packed_perplexity - r.perplexity) / r.perplexity < 0.05
+        ), (name, r.packed_perplexity, r.perplexity)
+        assert "packed_perplexity" in saved["results"][name], name
+    assert bench.results["pot"].packed_error is not None

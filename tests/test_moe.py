@@ -246,3 +246,88 @@ def test_moe_preset_registry():
     cfg = get_model_config("mixtral-8x7b")
     assert cfg.arch == "moe" and cfg.num_experts == 8
     assert get_arch("moe") is not None
+
+
+def test_qwen2_moe_import_parity(tmp_path):
+    """Random tiny Qwen2MoeForCausalLM → save → qtpu import → logits
+    parity: exercises the norm_topk_prob=False router, the always-on
+    sigmoid-gated shared expert (sh_* sites), q/k/v biases, and the
+    qwen2_moe key style (mlp.gate, mlp.experts.{e}.gate_proj/...)."""
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    hf_cfg = Qwen2MoeConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=96,
+        moe_intermediate_size=64,
+        shared_expert_intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=False,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = Qwen2MoeForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = config_from_hf(str(tmp_path))
+    assert cfg.arch == "moe"
+    assert cfg.num_experts == 4 and not cfg.norm_topk_prob
+    assert cfg.shared_expert_intermediate_size == 96
+    assert cfg.attention_bias
+    params, _ = load_checkpoint(str(tmp_path), cfg, jnp.float32)
+    assert params["layers"]["exp_gate"]["w"].shape == (2, 4, 128, 64)
+    assert params["layers"]["sh_gate"]["w"].shape == (2, 128, 96)
+    assert params["layers"]["sh_router"]["w"].shape == (2, 128, 1)
+    assert "b" in params["layers"]["q_proj"]
+
+    ids = np.random.default_rng(0).integers(0, 256, (1, 20))
+    with torch.no_grad():
+        expect = model(torch.tensor(ids)).logits.float().numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
+
+
+def test_qwen2_moe_quantize_pack_decode():
+    """Shared-expert model end-to-end: fake-quant all sites, pack+decode
+    with cache == cacheless packed forward."""
+    from qtpu.models.config import TINY_QWEN2_MOE_TEST
+    from qtpu.serve.decode import prefill
+
+    cfg = TINY_QWEN2_MOE_TEST
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 16), 0, cfg.vocab_size)
+    base = forward(params, ids, cfg)
+    assert bool(jnp.all(jnp.isfinite(base)))
+
+    batches = [
+        jax.random.randint(jax.random.PRNGKey(20 + i), (1, 16), 0, cfg.vocab_size)
+        for i in range(2)
+    ]
+    stats = collect_calibration_stats(forward, params, batches, cfg)
+    assert "sh_down_in" in stats.mean_abs
+
+    q = quantize_model(params, "rtn", {"w_bit": 8, "q_group_size": 64},
+                       arch="moe")
+    lg = forward(q, ids, cfg)
+    rel = float(jnp.abs(lg - base).mean() / jnp.abs(base).mean())
+    assert rel < 0.05
+
+    packed, qmeta = pack_model(
+        params, "rtn", {"w_bit": 4, "q_group_size": 64}, arch="moe"
+    )
+    full = forward(packed, ids, cfg, qmeta=qmeta)
+    cache = init_cache(cfg, 2, 64, quantized=True)
+    logits, cache = prefill(packed, ids, cache, cfg, qmeta, arch="moe")
+    np.testing.assert_allclose(
+        np.asarray(logits),
+        np.asarray(full[:, -1]),
+        rtol=2e-2,
+        atol=2e-2,
+    )

@@ -215,3 +215,115 @@ def test_pallas_moe_grouped_matches_per_expert(per_expert, stacked):
         np.testing.assert_array_equal(
             np.asarray(out[e]), np.asarray(ref), err_msg=f"expert {e}"
         )
+
+
+@pytest.mark.parametrize("window", [0, 48])
+def test_pallas_decode_attention_window(window):
+    """Sliding-window decode attention == XLA banded reference."""
+    from qtpu.kernels.pallas_kv_attention import pallas_decode_attention
+
+    B, H, KV, hd, S = 4, 8, 4, 64, 64
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.bfloat16)
+    kc = jax.random.randint(ks[1], (B, KV, S, hd), -127, 128, jnp.int8)
+    vc = jax.random.randint(ks[2], (B, KV, S, hd), -127, 128, jnp.int8)
+    ksc = (jax.random.uniform(ks[3], (B, KV, S)) * 0.05 + 0.01).astype(jnp.float32)
+    vsc = (jax.random.uniform(ks[4], (B, KV, S)) * 0.05 + 0.01).astype(jnp.float32)
+    pos = jnp.asarray([5, 17, 40, S - 1], jnp.int32)
+
+    got = pallas_decode_attention(
+        q, kc, vc, ksc, vsc, pos, window=window, interpret=True
+    )
+    G = H // KV
+    qf = q.astype(jnp.float32).reshape(B, KV, G, hd)
+    K = kc.astype(jnp.float32) * ksc[..., None]
+    V = vc.astype(jnp.float32) * vsc[..., None]
+    scores = jnp.einsum("bkgd,bksd->bkgs", qf, K) / jnp.sqrt(float(hd))
+    mask = jnp.arange(S)[None, :] <= pos[:, None]
+    if window:
+        mask &= jnp.arange(S)[None, :] > (pos[:, None] - window)
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    want = jnp.einsum("bkgs,bksd->bkgd", p, V).reshape(B, H, hd)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+@pytest.mark.parametrize("KV", [2, 8])
+@pytest.mark.parametrize("window", [0, 200])
+def test_pallas_flash_attention_gqa_window(KV, window):
+    """GQA-native flash attention (no KV repeat) with optional sliding
+    window == the XLA einsum reference."""
+    from qtpu.kernels.pallas_flash_attention import pallas_flash_attention
+
+    B, H, S, hd = 2, 8, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (B, H, S, hd), jnp.float32) * 0.5
+    k = jax.random.normal(ks[1], (B, KV, S, hd), jnp.float32) * 0.5
+    v = jax.random.normal(ks[2], (B, KV, S, hd), jnp.float32)
+
+    got = pallas_flash_attention(q, k, v, window=window, interpret=True)
+
+    rep = H // KV
+    kr = jnp.repeat(k, rep, axis=1)
+    vr = jnp.repeat(v, rep, axis=1)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, kr) / jnp.sqrt(float(hd))
+    qi = jnp.arange(S)[:, None]
+    ki = jnp.arange(S)[None, :]
+    mask = ki <= qi
+    if window:
+        mask &= ki > qi - window
+    scores = jnp.where(mask[None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    want = jnp.einsum("bhqk,bhkd->bhqd", p, vr)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+@pytest.mark.parametrize("window", [0, 48])
+def test_pallas_decode_attention_write_fused(window):
+    """Fused quantize-write + attention == separate cache_layer_write +
+    XLA attention reference, including the no-write masking for inactive
+    slots (pos ≥ S)."""
+    from qtpu.kernels.pallas_kv_attention import pallas_decode_attention_write
+    from qtpu.serve.kvcache import cache_layer_write
+
+    B, H, KV, hd, S = 4, 8, 4, 64, 64
+    ks = jax.random.split(jax.random.PRNGKey(5), 8)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.bfloat16)
+    k_new = jax.random.normal(ks[5], (B, 1, KV, hd), jnp.bfloat16)
+    v_new = jax.random.normal(ks[6], (B, 1, KV, hd), jnp.bfloat16)
+    kc = jax.random.randint(ks[1], (B, KV, S, hd), -127, 128, jnp.int8)
+    vc = jax.random.randint(ks[2], (B, KV, S, hd), -127, 128, jnp.int8)
+    ksc = (jax.random.uniform(ks[3], (B, KV, S)) * 0.05 + 0.01).astype(jnp.float32)
+    vsc = (jax.random.uniform(ks[4], (B, KV, S)) * 0.05 + 0.01).astype(jnp.float32)
+    pos = jnp.asarray([5, 17, 40, S], jnp.int32)  # last slot inactive
+
+    # reference first: separate write then banded attention over the
+    # updated cache (the fused call DONATES the cache buffers)
+    rk, rv, rks, rvs = cache_layer_write((kc, vc, ksc, vsc), k_new, v_new,
+                                         pos, True)
+    out, ko, vo, kso, vso = pallas_decode_attention_write(
+        q, k_new, v_new, kc, vc, ksc, vsc, pos, window=window, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ko), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(vo), np.asarray(rv))
+    np.testing.assert_allclose(np.asarray(kso), np.asarray(rks), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vso), np.asarray(rvs), rtol=1e-6)
+
+    G = H // KV
+    qf = q.astype(jnp.float32).reshape(B, KV, G, hd)
+    K = rk.astype(jnp.float32) * rks[..., None]
+    V = rv.astype(jnp.float32) * rvs[..., None]
+    scores = jnp.einsum("bkgd,bksd->bkgs", qf, K) / jnp.sqrt(float(hd))
+    mask = jnp.arange(S)[None, :] <= pos[:, None]
+    if window:
+        mask &= jnp.arange(S)[None, :] > (pos[:, None] - window)
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    want = jnp.einsum("bkgs,bksd->bkgd", p, V).reshape(B, H, hd)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
+    )

@@ -223,7 +223,7 @@ def test_pallas_flash_attention_matches_xla():
     k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, hd), jnp.float32)
     v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, hd), jnp.float32)
 
-    out = _interp_decode(mod_call=lambda: mod.pallas_flash_attention(q, k, v))
+    out = mod.pallas_flash_attention(q, k, v, interpret=True)
 
     scores = jnp.einsum("bhsd,bhtd->bhst", q, k) / jnp.sqrt(float(hd))
     causal = jnp.tril(jnp.ones((S, S), bool))
