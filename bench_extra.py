@@ -22,32 +22,40 @@ import numpy as np
 from qtpu.bench.synth import tiled_packed_llama as _tiled_packed_model  # noqa: E402
 
 
-def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large):
+def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large, block=25):
+    """Tokens/s through the serving decode path: decode_multi blocks (one
+    compiled lax.scan per `block` steps, one host dispatch per block —
+    exactly what the continuous batcher drives)."""
     import jax
     import jax.numpy as jnp
 
     from qtpu.serve import init_cache
-    from qtpu.serve.decode import decode_step, prefill
+    from qtpu.serve.decode import decode_multi, prefill
 
     prompt = jnp.asarray(
         np.random.default_rng(1).integers(0, cfg.vocab_size, (B, P)), jnp.int32
     )
+    key = jax.random.PRNGKey(0)
 
-    def run(n):
-        cache = init_cache(cfg, B, P + n_large + 8, quantized=True)
+    def run(n_blocks):
+        cache = init_cache(
+            cfg, B, P + n_large * block + 8, quantized=True
+        )
         t0 = time.perf_counter()
         logits, cache = prefill(packed, prompt, cache, cfg, qmeta)
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
         pos = jnp.full((B,), P, jnp.int32)
-        for _ in range(n):
-            logits, cache = decode_step(packed, tok, pos, cache, cfg, qmeta)
-            tok = jnp.argmax(logits, -1).astype(jnp.int32)
-            pos = pos + 1
+        for _ in range(n_blocks):
+            toks, cache = decode_multi(
+                packed, tok, pos, cache, None, key, cfg, block, qmeta
+            )
+            tok = toks[:, -1]
+            pos = pos + block
         float(jnp.sum(tok))
         return time.perf_counter() - t0
 
     run(n_small)
-    t = (run(n_large) - run(n_small)) / (n_large - n_small)
+    t = (run(n_large) - run(n_small)) / ((n_large - n_small) * block)
     return B / max(t, 1e-9)
 
 
@@ -97,7 +105,7 @@ def main():
     cfg7 = LLAMA2_7B
     packed7, qmeta7 = _tiled_packed_model(cfg7, 4, 128)
     out["llama2_7b_w4_decode_tokens_per_s"] = round(
-        decode_tps(packed7, qmeta7, cfg7, B=8, P=128, n_small=2, n_large=34), 1
+        decode_tps(packed7, qmeta7, cfg7, B=8, P=128, n_small=1, n_large=5), 1
     )
     flush()
     del packed7
@@ -111,7 +119,7 @@ def main():
     # large-batch decode: weight streaming amortizes over the batch — the
     # serving-throughput operating point (vs the latency point at B=8)
     out["tinyllama_w4_decode_tokens_per_s_b32"] = round(
-        decode_tps(packed, qmeta, cfg, B=32, P=128, n_small=2, n_large=50), 1
+        decode_tps(packed, qmeta, cfg, B=32, P=128, n_small=1, n_large=6), 1
     )
     flush()
     return 0

@@ -109,15 +109,21 @@ def _decode_attn_write_kernel(
         kq = jnp.clip(jnp.round(kn / k_sc), -127, 127)  # [hd] f32 codes
         vq = jnp.clip(jnp.round(vn / v_sc), -127, 127)
 
-        # blend row into the cache tile (positions ≥ S never hit → no-op)
-        k_bl = jnp.where(row_hit, kq[None, :], k_ref[0, j].astype(jnp.float32))
-        v_bl = jnp.where(row_hit, vq[None, :], v_ref[0, j].astype(jnp.float32))
+        # blend row into the cache tile in int8 (positions ≥ S never hit →
+        # tile passes through unchanged); the write into the output block
+        # IS the scan-ys cache update — one read + one write of the tile
+        ki8 = jnp.where(
+            row_hit, kq.astype(jnp.int8)[None, :], k_ref[0, j]
+        )  # [S, hd] int8
+        vi8 = jnp.where(row_hit, vq.astype(jnp.int8)[None, :], v_ref[0, j])
         ks_bl = jnp.where(srow, k_sc, ks_ref[0, j].astype(jnp.float32))
         vs_bl = jnp.where(srow, v_sc, vs_ref[0, j].astype(jnp.float32))
-        ko_ref[0, j] = k_bl.astype(jnp.int8)
-        vo_ref[0, j] = v_bl.astype(jnp.int8)
-        kso_ref[0, j] = ks_bl.astype(jnp.float32)
-        vso_ref[0, j] = vs_bl.astype(jnp.float32)
+        ko_ref[0, j] = ki8
+        vo_ref[0, j] = vi8
+        kso_ref[0, j] = ks_bl
+        vso_ref[0, j] = vs_bl
+        k_bl = ki8.astype(jnp.float32)
+        v_bl = vi8.astype(jnp.float32)
 
         q = q_ref[0, j].astype(jnp.float32)  # [G, hd]
         scores = jax.lax.dot_general(
@@ -137,6 +143,96 @@ def _decode_attn_write_kernel(
             p * vs_bl[:, 0][None, :], v_bl, preferred_element_type=jnp.float32
         )
         o_ref[0, j] = out.astype(o_ref.dtype)
+
+
+def _decode_attn_write_bf16_kernel(
+    pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ko_ref, vo_ref,
+    *, kb, window
+):
+    """bf16-cache variant of the fused write+attend kernel: no per-row
+    scales, no int8 quant/dequant converts — the blend and both dots run
+    on the bf16 tiles directly. Cache DMA doubles vs int8 but the decode
+    kernel cost is convert/VPU-bound, not DMA-bound (measured ~49 µs/layer
+    fused-int8 vs ~4.5 µs of tile DMA on v5e), so this is the latency
+    configuration; int8 stays the capacity configuration."""
+    b = pl.program_id(0)
+    G, hd = q_ref.shape[2], q_ref.shape[3]
+    S = k_ref.shape[2]
+    pos = pos_ref[b]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    row_hit = jax.lax.broadcasted_iota(jnp.int32, (S, hd), 0) == pos
+    for j in range(kb):
+        k_bl = jnp.where(row_hit, kn_ref[0, j, 0][None, :], k_ref[0, j])
+        v_bl = jnp.where(row_hit, vn_ref[0, j, 0][None, :], v_ref[0, j])
+        ko_ref[0, j] = k_bl
+        vo_ref[0, j] = v_bl
+
+        q = q_ref[0, j]  # [G, hd] bf16
+        scores = jax.lax.dot_general(
+            q, k_bl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(float(hd))
+        valid = s_idx <= pos
+        if window > 0:
+            valid &= s_idx > pos - window
+        scores = jnp.where(valid, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_bl.dtype)
+        out = jnp.dot(p, v_bl, preferred_element_type=jnp.float32)
+        o_ref[0, j] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("window", "interpret"))
+def pallas_decode_attention_write_bf16(
+    q, k_new, v_new, k_c, v_c, pos, window: int = 0, interpret=False
+):
+    """Fused row write + attention over a bf16 KV cache. q [B, H, hd];
+    k_new/v_new [B, 1, KV, hd]; k_c/v_c [B, KV, S, hd] bf16; pos [B].
+    Returns (out [B, H, hd], k_c, v_c) updated."""
+    B, H, hd = q.shape
+    KV, S = k_c.shape[1], k_c.shape[2]
+    if H % KV or S % 8 or hd % 8:
+        raise NotImplementedError("decode attention needs H%KV==0, S%8==0")
+    G = H // KV
+    q4 = q.reshape(B, KV, G, hd)
+    kn = jnp.swapaxes(k_new, 1, 2).astype(k_c.dtype)
+    vn = jnp.swapaxes(v_new, 1, 2).astype(v_c.dtype)
+
+    kb = max(1, min(KV, (4 * 1024 * 1024) // (4 * S * hd)))
+    while KV % kb:
+        kb -= 1
+
+    def ix(b, h, pos):
+        return (b, h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KV // kb),
+        in_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+        ],
+    )
+    out, k_o, v_o = pl.pallas_call(
+        partial(_decode_attn_write_bf16_kernel, kb=kb, window=int(window)),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+            jax.ShapeDtypeStruct((B, KV, S, hd), k_c.dtype),
+            jax.ShapeDtypeStruct((B, KV, S, hd), v_c.dtype),
+        ],
+        interpret=interpret,
+    )(pos.astype(jnp.int32), q4, kn, vn, k_c, v_c)
+    return out.reshape(B, H, hd), k_o, v_o
 
 
 @partial(jax.jit, static_argnames=("window", "interpret"), donate_argnums=(3, 4, 5, 6))
@@ -198,10 +294,11 @@ def pallas_decode_attention_write(
             jax.ShapeDtypeStruct((B, KV, S, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, KV, S, 1), jnp.float32),
         ],
-        # +1 for the scalar-prefetch operand: positional inputs are
-        # (pos, q, kn, vn, k_c, v_c, ks_c, vs_c) → cache tensors 4..7
-        # alias outputs 1..4
-        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        # NO input/output aliasing: inside the decode scan the cache tiles
+        # arrive as xs slices and leave as ys slots — aliasing across that
+        # boundary makes XLA insert protective copies (measured 2.90 vs
+        # 2.79 ms/step unfused); fresh outputs land directly in the ys
+        # buffer for read-once/write-once tile traffic
         interpret=interpret,
     )(
         pos.astype(jnp.int32),

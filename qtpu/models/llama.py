@@ -295,15 +295,11 @@ def _write_and_attend(q, k, v, layer_kv, start, mask, cfg: ModelConfig):
     B, T, H, hd = q.shape
     KV = k.shape[2]
     quantized = layer_kv[2] is not None
-    if (
-        T == 1
-        and quantized
-        and jax.default_backend() == "tpu"
-        and H % KV == 0
-    ):
+    if T == 1 and jax.default_backend() == "tpu" and H % KV == 0:
         try:
             from qtpu.kernels.pallas_kv_attention import (
                 pallas_decode_attention_write,
+                pallas_decode_attention_write_bf16,
             )
 
             k_c, v_c, ks_c, vs_c = layer_kv
@@ -312,9 +308,14 @@ def _write_and_attend(q, k, v, layer_kv, start, mask, cfg: ModelConfig):
                 if 0 < cfg.sliding_window < k_c.shape[2]
                 else 0
             )
-            out, k_c, v_c, ks_c, vs_c = pallas_decode_attention_write(
-                q[:, 0], k, v, k_c, v_c, ks_c, vs_c, start, window=win
-            )
+            if quantized:
+                out, k_c, v_c, ks_c, vs_c = pallas_decode_attention_write(
+                    q[:, 0], k, v, k_c, v_c, ks_c, vs_c, start, window=win
+                )
+            else:
+                out, k_c, v_c = pallas_decode_attention_write_bf16(
+                    q[:, 0], k, v, k_c, v_c, start, window=win
+                )
             return out.reshape(B, 1, H * hd), (k_c, v_c, ks_c, vs_c)
         except NotImplementedError:
             pass
@@ -385,9 +386,13 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
     start = positions[:, 0]
 
     layers = params["layers"]
-    L = cache.k.shape[0]
-    cache_xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    L = cache.num_layers
     mode = _delivery_mode(layers, L, T)
+    if cache.per_layer:
+        # per-layer cache buffers require the unrolled forward (no scan
+        # xs/ys for the cache — each layer's kernel updates its own
+        # buffer functionally; see serve.kvcache.KVCache)
+        mode = "unrolled"
     if mode == "unrolled":
         # L inlined layer bodies with STATIC weight/cache slices: kernels
         # read each site straight from HBM (no xs staging copy, no
@@ -397,17 +402,25 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
         new_kv = []
         for l in range(L):
             lp = jax.tree_util.tree_map(lambda a: a[l], layers)
-            layer_kv = tuple(c if c is None else c[l] for c in cache_xs)
             x, lkv = _layer_fwd_cached(
-                x, lp, None, (lp["attn_norm"], lp["mlp_norm"]), layer_kv,
-                start, rope, mask, cfg, qmeta_d,
+                x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
+                cache.layer(l), start, rope, mask, cfg, qmeta_d,
             )
             new_kv.append(lkv)
-        k_new, v_new, ks_new, vs_new = (
-            None if new_kv[0][i] is None else jnp.stack([t[i] for t in new_kv])
-            for i in range(4)
-        )
+        if cache.per_layer:
+            k_new, v_new, ks_new, vs_new = (
+                None if new_kv[0][i] is None else tuple(t[i] for t in new_kv)
+                for i in range(4)
+            )
+        else:
+            k_new, v_new, ks_new, vs_new = (
+                None
+                if new_kv[0][i] is None
+                else jnp.stack([t[i] for t in new_kv])
+                for i in range(4)
+            )
     else:
+        cache_xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
         if mode == "stacked":
             def body(x, xs):
                 l, an, mn, kc, vc, ksc, vsc = xs

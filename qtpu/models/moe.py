@@ -373,7 +373,31 @@ def forward_with_cache(params, input_ids, positions, cache, cfg, qmeta=None):
     start = positions[:, 0]
 
     layers = params["layers"]
-    L = cache.k.shape[0]
+    L = cache.num_layers
+    if cache.per_layer:
+        # per-layer cache buffers → unrolled layer loop (see llama)
+        new_kv = []
+        for l in range(L):
+            lp = jax.tree_util.tree_map(lambda a: a[l], layers)
+            x, lkv = _layer_fwd_cached(
+                x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
+                cache.layer(l), start, rope, mask, cfg, qmeta_d,
+            )
+            new_kv.append(lkv)
+        k_new, v_new, ks_new, vs_new = (
+            None if new_kv[0][i] is None else tuple(t[i] for t in new_kv)
+            for i in range(4)
+        )
+        x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+        qmh = None if qmeta_d is None else qmeta_d.get("lm_head")
+        logits = linear(x, params["lm_head"], qmh).astype(jnp.float32)
+        return logits, KVCache(
+            k=k_new,
+            v=v_new,
+            k_scale=ks_new,
+            v_scale=vs_new,
+            length=jnp.maximum(cache.length, positions[:, -1] + 1),
+        )
     cache_xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
     if _use_stacked_weights(layers, L, T, qmeta_d):
         def body(x, xs):

@@ -106,6 +106,7 @@ class ContinuousBatcher:
         seed: int = 0,
         decode_block: int = 8,
         prefill_chunk: int = 256,
+        kv_layout: str | None = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -116,6 +117,14 @@ class ContinuousBatcher:
         self.eos = eos_token
         self.decode_block = max(1, decode_block)
         self.prefill_chunk = max(16, prefill_chunk)
+        # per-layer cache buffers are the decode-latency format on TPU
+        # (no scan staging of cache tiles — see serve.kvcache.KVCache);
+        # stacked elsewhere (the layer-scan forward)
+        if kv_layout is None:
+            kv_layout = (
+                "per_layer" if jax.default_backend() == "tpu" else "stacked"
+            )
+        self.kv_layout = kv_layout
         # decode blocks may overshoot a slot's last token by block−1 steps;
         # size the cache so those writes stay in range
         self.cache = init_cache(
@@ -123,6 +132,7 @@ class ContinuousBatcher:
             max_batch,
             max_seq_len + self.decode_block,
             quantized=(kv_dtype == "int8"),
+            per_layer=(kv_layout == "per_layer"),
         )
         self.slots: list[Request | None] = [None] * max_batch
         self.queue: list[Request] = []
@@ -166,12 +176,25 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------ internals
     def _slot_cache(self, i):
+        # stacked leaves are [L, B, ...] (batch = axis 1); per-layer tuple
+        # leaves and `length` are [B, ...] (batch = axis 0)
+        if self.cache.per_layer:
+            return jax.tree_util.tree_map(
+                lambda a: a[i : i + 1], self.cache
+            )
         return jax.tree_util.tree_map(
             lambda a: a[:, i : i + 1] if a.ndim >= 2 else a[i : i + 1],
             self.cache,
         )
 
     def _write_slot_cache(self, i, slot_cache):
+        if self.cache.per_layer:
+            self.cache = jax.tree_util.tree_map(
+                lambda full, part: full.at[i : i + 1].set(part),
+                self.cache,
+                slot_cache,
+            )
+            return
         self.cache = jax.tree_util.tree_map(
             lambda full, part: (
                 full.at[:, i : i + 1].set(part)

@@ -25,10 +25,24 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jnp.ndarray  # [L, B, KV, S, hd] bf16 or int8
-    v: jnp.ndarray
-    k_scale: jnp.ndarray | None  # [L, B, KV, S] f32 (int8 mode)
-    v_scale: jnp.ndarray | None
+    """Two storage formats:
+
+    * stacked (default): k/v are single [L, B, KV, S, hd] arrays — the
+      layout the layer-scan forward consumes as scan xs/ys.
+    * per-layer (per_layer=True): k/v are TUPLES of L [B, KV, S, hd]
+      arrays — each layer's cache is its own XLA buffer, updated
+      functionally by that layer's fused attention kernel with no scan
+      xs slice / ys stack in between. Measured on v5e: the scan staging
+      of cache tiles costs ~29 µs/layer/step while the fused kernel
+      itself is ~14 µs — per-layer buffers are the decode-latency format
+      (the standard TPU serving layout, cf. maxtext-style per-layer
+      caches). Requires the unrolled-layer forward.
+    """
+
+    k: object  # [L, B, KV, S, hd] bf16/int8, or tuple of L [B, KV, S, hd]
+    v: object
+    k_scale: object | None  # [L, B, KV, S] f32 (int8 mode) or tuple
+    v_scale: object | None
     length: jnp.ndarray  # [B] int32 — tokens filled per sequence
 
     def tree_flatten(self):
@@ -43,27 +57,51 @@ class KVCache:
         return self.k_scale is not None
 
     @property
+    def per_layer(self) -> bool:
+        return isinstance(self.k, (tuple, list))
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.k) if self.per_layer else self.k.shape[0]
+
+    @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        return self.k[0].shape[2] if self.per_layer else self.k.shape[3]
+
+    def layer(self, l):
+        """(k, v, k_scale, v_scale) of layer l (index static for tuples)."""
+        sel = lambda c: None if c is None else c[l]
+        return sel(self.k), sel(self.v), sel(self.k_scale), sel(self.v_scale)
 
 
 def init_cache(
-    cfg, batch: int, max_len: int, dtype=jnp.bfloat16, quantized: bool = False
+    cfg,
+    batch: int,
+    max_len: int,
+    dtype=jnp.bfloat16,
+    quantized: bool = False,
+    per_layer: bool = False,
 ) -> KVCache:
     L, KV, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     max_len = max_len + (-max_len) % 8  # sublane-aligned S for kernels
-    shape = (L, batch, KV, max_len, hd)
+    shape = (batch, KV, max_len, hd)
+
+    def alloc(shp, dt):
+        if per_layer:
+            return tuple(jnp.zeros(shp, dt) for _ in range(L))
+        return jnp.zeros((L,) + shp, dt)
+
     if quantized:
         return KVCache(
-            k=jnp.zeros(shape, jnp.int8),
-            v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:-1], jnp.float32),
-            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            k=alloc(shape, jnp.int8),
+            v=alloc(shape, jnp.int8),
+            k_scale=alloc(shape[:-1], jnp.float32),
+            v_scale=alloc(shape[:-1], jnp.float32),
             length=jnp.zeros((batch,), jnp.int32),
         )
     return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=alloc(shape, dtype),
+        v=alloc(shape, dtype),
         k_scale=None,
         v_scale=None,
         length=jnp.zeros((batch,), jnp.int32),

@@ -327,3 +327,48 @@ def test_pallas_decode_attention_write_fused(window):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("window", [0, 48])
+def test_pallas_decode_attention_write_bf16(window):
+    """bf16-cache fused write+attention == separate write + XLA attention."""
+    from qtpu.kernels.pallas_kv_attention import (
+        pallas_decode_attention_write_bf16,
+    )
+    from qtpu.serve.kvcache import cache_layer_write
+
+    B, H, KV, hd, S = 4, 8, 4, 64, 64
+    ks = jax.random.split(jax.random.PRNGKey(6), 8)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.bfloat16)
+    k_new = jax.random.normal(ks[5], (B, 1, KV, hd), jnp.bfloat16)
+    v_new = jax.random.normal(ks[6], (B, 1, KV, hd), jnp.bfloat16)
+    kc = jax.random.normal(ks[1], (B, KV, S, hd), jnp.bfloat16)
+    vc = jax.random.normal(ks[2], (B, KV, S, hd), jnp.bfloat16)
+    pos = jnp.asarray([5, 17, 40, S], jnp.int32)  # last slot inactive
+
+    rk, rv, _, _ = cache_layer_write((kc, vc, None, None), k_new, v_new,
+                                     pos, False)
+    out, ko, vo = pallas_decode_attention_write_bf16(
+        q, k_new, v_new, kc, vc, pos, window=window, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ko, np.float32), np.asarray(rk, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vo, np.float32), np.asarray(rv, np.float32)
+    )
+
+    G = H // KV
+    qf = q.astype(jnp.float32).reshape(B, KV, G, hd)
+    K = rk.astype(jnp.float32)
+    V = rv.astype(jnp.float32)
+    scores = jnp.einsum("bkgd,bksd->bkgs", qf, K) / jnp.sqrt(float(hd))
+    mask = jnp.arange(S)[None, :] <= pos[:, None]
+    if window:
+        mask &= jnp.arange(S)[None, :] > (pos[:, None] - window)
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    want = jnp.einsum("bkgs,bksd->bkgd", p, V).reshape(B, H, hd)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want), rtol=3e-2, atol=3e-2
+    )

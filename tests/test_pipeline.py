@@ -1,0 +1,74 @@
+"""Pipeline parallelism (SURVEY §2.3 P3): GPipe-style microbatch schedule
+over a `pipe` mesh axis, layers sharded by stage, activations moved with
+ppermute. Equality-tested against the single-device NLL math on the
+virtual CPU mesh (the multi-device-on-CPU strategy of SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qtpu.models.config import TINY_TEST
+from qtpu.models.llama import forward, init_params
+from qtpu.quant.apply import pack_model
+from qtpu.sharding.pipeline import (
+    make_pipe_mesh,
+    pipeline_nll,
+    shard_params_pipeline,
+)
+
+CFG = TINY_TEST  # 2 layers → 2 stages
+
+
+def _reference_nll(params, batches, cfg, qmeta=None):
+    """Single-device shifted-CE × block per microbatch (the reference ppl
+    math, quantization_utils.py:309-318)."""
+    out = []
+    for ids in batches:
+        logits = forward(params, ids, cfg, qmeta=qmeta).astype(jnp.float32)
+        lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        ll = jnp.take_along_axis(lp, ids[:, 1:][..., None], axis=-1)[..., 0]
+        out.append(-jnp.mean(ll) * ids.shape[1])
+    return jnp.stack(out)
+
+
+@pytest.mark.parametrize("n_stages", [2])
+def test_pipeline_nll_matches_single_device(n_stages):
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    M, b, S = 4, 2, 32
+    batches = jax.random.randint(
+        jax.random.PRNGKey(1), (M, b, S), 0, CFG.vocab_size
+    )
+    want = np.asarray(_reference_nll(params, batches, CFG))
+
+    mesh = make_pipe_mesh(pipe=n_stages, data=1)
+    sp = shard_params_pipeline(params, mesh)
+    got = np.asarray(pipeline_nll(sp, batches, CFG, mesh, n_stages))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_pipeline_nll_packed():
+    """Pipeline over PACKED (W4) layer params: the fused-dequant path runs
+    inside each stage's local scan."""
+    params = init_params(CFG, jax.random.PRNGKey(2))
+    packed, qmeta = pack_model(
+        params, "rtn", {"w_bit": 4, "q_group_size": 64}
+    )
+    M, b, S = 2, 1, 32
+    batches = jax.random.randint(
+        jax.random.PRNGKey(3), (M, b, S), 0, CFG.vocab_size
+    )
+    want = np.asarray(_reference_nll(packed, batches, CFG, qmeta=qmeta))
+    mesh = make_pipe_mesh(pipe=2)
+    sp = shard_params_pipeline(packed, mesh)
+    got = np.asarray(pipeline_nll(sp, batches, CFG, mesh, 2, qmeta=qmeta))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_pipeline_rejects_unsupported_arch():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    mesh = make_pipe_mesh(pipe=2)
+    sp = shard_params_pipeline(params, mesh)
+    batches = jnp.zeros((2, 1, 16), jnp.int32)
+    with pytest.raises(NotImplementedError):
+        pipeline_nll(sp, batches, CFG, mesh, 2, arch="gpt2")

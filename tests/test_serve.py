@@ -300,3 +300,61 @@ def test_http_serving_frontend(setup):
     finally:
         server.shutdown()
         frontend.shutdown()
+
+
+def test_per_layer_cache_matches_stacked():
+    """Per-layer-tuple KV cache (the decode-latency format) must match the
+    stacked cache numerically through prefill + teacher-forced decode
+    steps (logits compared — greedy argmax can flip on fusion-order noise
+    with random tiny-model weights, so tokens are not the right oracle)."""
+    from qtpu.bench.synth import tiled_packed_llama
+    from qtpu.models.config import TINY_TEST
+    from qtpu.serve import init_cache
+    from qtpu.serve.decode import decode_step, prefill
+
+    cfg = TINY_TEST
+    packed, qmeta = tiled_packed_llama(cfg, 4, 64)
+    B, P, N = 2, 16, 4
+    prompt = jax.random.randint(jax.random.PRNGKey(0), (B, P), 0, cfg.vocab_size)
+    forced = jax.random.randint(jax.random.PRNGKey(1), (N, B), 0, cfg.vocab_size)
+
+    outs = {}
+    for per_layer in (False, True):
+        cache = init_cache(cfg, B, 64, quantized=True, per_layer=per_layer)
+        assert cache.per_layer == per_layer
+        logits, cache = prefill(packed, prompt, cache, cfg, qmeta)
+        seq = [np.asarray(logits)]
+        pos = jnp.full((B,), P, jnp.int32)
+        for i in range(N):
+            logits, cache = decode_step(packed, forced[i], pos, cache, cfg, qmeta)
+            seq.append(np.asarray(logits))
+            pos = pos + 1
+        outs[per_layer] = seq
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+def test_batcher_per_layer_layout():
+    """ContinuousBatcher with kv_layout='per_layer' runs end-to-end and
+    produces the right request/token accounting."""
+    from qtpu.bench.synth import tiled_packed_llama
+    from qtpu.models.config import TINY_TEST
+    from qtpu.serve.batching import ContinuousBatcher
+
+    cfg = TINY_TEST
+    packed, qmeta = tiled_packed_llama(cfg, 4, 64)
+    prompts = [
+        np.random.default_rng(i).integers(0, cfg.vocab_size, (8 + 3 * i,))
+        for i in range(3)
+    ]
+    eng = ContinuousBatcher(
+        packed, cfg, qmeta=qmeta, max_batch=2, max_seq_len=128,
+        kv_dtype="int8", decode_block=4, kv_layout="per_layer",
+    )
+    assert eng.cache.per_layer
+    reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    done = eng.run()
+    assert len(done) == 3
+    for r in reqs:
+        assert r.done and len(r.output) == 6
+        assert all(0 <= t < cfg.vocab_size for t in r.output)

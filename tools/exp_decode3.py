@@ -15,7 +15,7 @@ prompt = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (B, P)
 key = jax.random.PRNGKey(0)
 
 def run(n_blocks):
-    cache = init_cache(cfg, B, P + 6 * BLOCK + 8, quantized=True)
+    cache = init_cache(cfg, B, P + 6 * BLOCK + 8, quantized=(os.environ.get("QTPU_KV", "int8") == "int8"), per_layer=(os.environ.get("QTPU_PERLAYER", "0") == "1"))
     t0 = time.perf_counter()
     logits, cache = prefill(packed, prompt, cache, cfg, qmeta)
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
