@@ -6,6 +6,12 @@ Writes results/perf_tpu.json with:
     W4 at 3.5 GB does; this is the serving win the reference cannot
     express at all)
   - tinyllama_prefill_tokens_per_s at S=2048 (flash-attention path)
+  - moe_8x1b_w4_decode_tokens_per_s: Mixtral-style MoE decode through the
+    grouped expert kernel (8 experts, TinyLlama-ish dims — a real
+    Mixtral-8x7B W4 is ~23 GB, beyond one 16 GB chip; the kernel shape is
+    identical)
+  - batcher_* : ContinuousBatcher-level mixed-load serving metrics
+    (decode-block + chunked-prefill engine): tokens/s and mean TTFT
 
 Weights are generated on device, one layer per site tiled (see bench.py
 notes on host RNG/transfer rates).
@@ -22,7 +28,8 @@ import numpy as np
 from qtpu.bench.synth import tiled_packed_llama as _tiled_packed_model  # noqa: E402
 
 
-def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large, block=25):
+def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large, block=25,
+               arch="llama"):
     """Tokens/s through the serving decode path: decode_multi blocks (one
     compiled lax.scan per `block` steps, one host dispatch per block —
     exactly what the continuous batcher drives)."""
@@ -42,12 +49,13 @@ def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large, block=25):
             cfg, B, P + n_large * block + 8, quantized=True
         )
         t0 = time.perf_counter()
-        logits, cache = prefill(packed, prompt, cache, cfg, qmeta)
+        logits, cache = prefill(packed, prompt, cache, cfg, qmeta, arch=arch)
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
         pos = jnp.full((B,), P, jnp.int32)
         for _ in range(n_blocks):
             toks, cache = decode_multi(
-                packed, tok, pos, cache, None, key, cfg, block, qmeta
+                packed, tok, pos, cache, None, key, cfg, block, qmeta,
+                arch=arch,
             )
             tok = toks[:, -1]
             pos = pos + block
@@ -120,6 +128,59 @@ def main():
     # serving-throughput operating point (vs the latency point at B=8)
     out["tinyllama_w4_decode_tokens_per_s_b32"] = round(
         decode_tps(packed, qmeta, cfg, B=32, P=128, n_small=1, n_large=6), 1
+    )
+    flush()
+
+    # engine-level serving: continuous batcher under mixed load (staggered
+    # prompt lengths, chunked prefill interleaving decode blocks)
+    from qtpu.serve.batching import ContinuousBatcher
+
+    eng = ContinuousBatcher(
+        packed, cfg, qmeta=qmeta, max_batch=8, max_seq_len=512,
+        kv_dtype="int8", decode_block=16, prefill_chunk=128,
+    )
+    rng = np.random.default_rng(0)
+    for i in range(24):
+        plen = int(rng.integers(16, 384))
+        eng.submit(
+            rng.integers(0, cfg.vocab_size, (plen,), dtype=np.int64),
+            max_new_tokens=64,
+        )
+    t0 = time.perf_counter()
+    done = eng.run()
+    dt = time.perf_counter() - t0
+    m = eng.metrics()
+    out["batcher_tokens_per_s"] = round(m["total_tokens"] / dt, 1)
+    out["batcher_mean_ttft_s"] = round(m["mean_ttft_s"], 4)
+    out["batcher_requests"] = m["requests"]
+    flush()
+    del packed
+
+    # MoE decode: Mixtral-style 8-expert model, every expert's packed
+    # weights streamed by ONE grouped kernel launch per site per layer
+    from qtpu.bench.synth import tiled_packed_moe
+    from qtpu.models.config import ModelConfig
+
+    moe_cfg = ModelConfig(
+        arch="moe",
+        vocab_size=32000,
+        hidden_size=2048,
+        intermediate_size=5632,
+        num_layers=22,
+        num_heads=32,
+        num_kv_heads=4,
+        head_dim=64,
+        max_seq_len=2048,
+        num_experts=8,
+        num_experts_per_tok=2,
+    )
+    packed_moe, qmeta_moe = tiled_packed_moe(moe_cfg, 4, 128)
+    out["moe_8x1b_w4_decode_tokens_per_s"] = round(
+        decode_tps(
+            packed_moe, qmeta_moe, moe_cfg, B=8, P=128,
+            n_small=1, n_large=3, block=25, arch="moe",
+        ),
+        1,
     )
     flush()
     return 0

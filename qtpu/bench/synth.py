@@ -65,3 +65,68 @@ def tiled_packed_llama(cfg, w_bit: int = 4, group: int = 128, fuse: bool = True)
     if fuse:
         return fuse_packed_sites(packed, qmeta)
     return packed, qmeta
+
+
+def tiled_packed_moe(cfg, w_bit: int = 4, group: int = 128):
+    """(packed_params, qmeta) for a Mixtral-style MoE ModelConfig: one
+    random weight per site tiled over layers; expert sites tiled over
+    layers AND experts (throughput doesn't care about weight uniqueness —
+    dense soft-dispatch streams every expert's packed weights each step
+    regardless)."""
+    L, E = cfg.num_layers, cfg.num_experts
+    D, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Q, KV = cfg.q_dim, cfg.kv_dim
+    keys = jax.random.split(jax.random.PRNGKey(0), 10)
+
+    def tile(a, lead):
+        return jnp.broadcast_to(a[None], (lead,) + a.shape) if lead else a
+
+    metas = {}
+    layers = {
+        "attn_norm": jnp.ones((L, D), jnp.bfloat16),
+        "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
+        "router": {
+            "w": tile(
+                jax.random.normal(keys[0], (D, E), jnp.bfloat16) * 0.02, L
+            )
+        },
+    }
+    attn_shapes = {
+        "q_proj": (D, Q),
+        "k_proj": (D, KV),
+        "v_proj": (D, KV),
+        "o_proj": (Q, D),
+    }
+    for (site, sh), k in zip(attn_shapes.items(), keys[1:5]):
+        w1 = jax.random.normal(k, sh, jnp.bfloat16) * 0.02
+        qt = quantize_pack(w1, w_bit, group)
+        layers[site] = {
+            "data": tile(qt.data, L),
+            "scales": tile(qt.scales, L),
+            "zeros": tile(qt.zeros, L),
+        }
+        metas[site] = (w_bit, group, sh[0], sh[1])
+    exp_shapes = {
+        "exp_gate": (D, F),
+        "exp_up": (D, F),
+        "exp_down": (F, D),
+    }
+    for (site, sh), k in zip(exp_shapes.items(), keys[5:8]):
+        w1 = jax.random.normal(k, sh, jnp.bfloat16) * 0.02
+        qt = quantize_pack(w1, w_bit, group)
+        layers[site] = {
+            "data": tile(tile(qt.data, E), L),
+            "scales": tile(tile(qt.scales, E), L),
+            "zeros": tile(tile(qt.zeros, E), L),
+        }
+        metas[site] = (w_bit, group, sh[0], sh[1])
+    head = jax.random.normal(keys[8], (D, V), jnp.bfloat16) * 0.02
+    qt = quantize_pack(head, w_bit, group)
+    packed = {
+        "embed": jax.random.normal(keys[9], (V, D), jnp.bfloat16) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((D,), jnp.bfloat16),
+        "lm_head": {"data": qt.data, "scales": qt.scales, "zeros": qt.zeros},
+    }
+    metas["lm_head"] = (w_bit, group, D, V)
+    return packed, tuple(sorted(metas.items()))

@@ -62,6 +62,7 @@ def collect_calibration_stats_sharded(
     mean_parts = {}
     max_run = {}
     hess_run = {} if collect_hessian else None
+    last_h = {}  # per-row Hessian of the LAST REAL row (pad correction)
     with jax.sharding.set_mesh(mesh):
         for lo in range(0, ids.shape[0], dp):
             chunk = jax.device_put(
@@ -80,15 +81,18 @@ def collect_calibration_stats_sharded(
                     hess_run[site] = (
                         h if site not in hess_run else hess_run[site] + h
                     )
+                    if lo <= n - 1 < lo + dp:
+                        last_h[site] = st["hessian"][(n - 1) - lo]
     mean_abs = {
         s: jnp.concatenate(v, axis=0)[:n] for s, v in mean_parts.items()
     }
     # padding rows duplicate the last real row; their max can't exceed the
-    # real max, and their Hessian contribution must be removed
+    # real max, and their Hessian contribution must be removed — using the
+    # per-row Hessian the sharded pass already produced for that row (no
+    # extra unsharded forward)
     if pad and collect_hessian:
-        _, last_stats = forward_fn(params, jnp.asarray(ids[-1:][0][None]), cfg, capture=capture)
         for site in hess_run:
-            hess_run[site] = hess_run[site] - pad * last_stats[site]["hessian"]
+            hess_run[site] = hess_run[site] - pad * last_h[site]
     return CalibStats(
         mean_abs=mean_abs, max_abs=max_run, hessian=hess_run, n_batches=n
     )

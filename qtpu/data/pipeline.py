@@ -26,6 +26,12 @@ def get_calibration_dataset(
     seed: int = 42,
 ) -> list[np.ndarray]:
     """Returns a list of [1, block_size] int32 arrays."""
+    if dataset_name.startswith("fixture:"):
+        from qtpu.data.fixture import load_fixture_calibration
+
+        return load_fixture_calibration(
+            dataset_name[len("fixture:"):], n_samples, block_size
+        )
     if dataset_name == "synthetic" or tokenizer is None:
         if vocab_size is None:
             raise ValueError("synthetic calibration needs vocab_size")
@@ -85,6 +91,10 @@ def get_test_dataset(
     seed: int = 1234,
 ) -> np.ndarray:
     """Returns a single [1, N] int32 token stream."""
+    if dataset_name.startswith("fixture:"):
+        from qtpu.data.fixture import load_fixture_test
+
+        return load_fixture_test(dataset_name[len("fixture:"):])
     if dataset_name == "synthetic" or tokenizer is None:
         if vocab_size is None:
             raise ValueError("synthetic test set needs vocab_size")

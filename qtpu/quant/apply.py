@@ -602,12 +602,31 @@ def pack_model(
                     h_or_v = h_or_v[:, perm]
                 return gptq_prepare_factor_lowrank(h_or_v, damp)
 
+            # actorder_shards > 1: SHARD-LOCAL permutation — columns are
+            # reordered only within contiguous K/shards blocks, matching a
+            # tensor-parallel row split of the input axis. The serve-time
+            # activation gather then never crosses shard boundaries, so
+            # actorder costs no all-gather over ICI (ops.linear's "perm"
+            # note); the ordering win is restricted to within-shard, the
+            # standard trade (g_idx-per-shard in GPU TP servers).
+            actorder_shards = int(mcfg.get("actorder_shards", 1))
+
             def order(h_or_v):
                 d = (
                     jnp.diag(h_or_v.astype(jnp.float32))
                     if have_true_h
                     else proxy_hessian_diag(h_or_v, damp)
                 )
+                Kc = d.shape[0]
+                s_ = actorder_shards
+                if s_ > 1 and Kc % s_ == 0:
+                    blk = Kc // s_
+                    return jnp.concatenate(
+                        [
+                            jnp.argsort(-d[i * blk : (i + 1) * blk]) + i * blk
+                            for i in range(s_)
+                        ]
+                    )
                 return jnp.argsort(-d)
 
             if has_l:

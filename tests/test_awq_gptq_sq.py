@@ -199,3 +199,43 @@ def test_search_alpha_in_range(rng):
     amax = jnp.abs(jax.random.normal(k2, (256,))) * 10 + 0.1
     a = search_alpha(w, amax, 8, 128)
     assert 0.0 <= float(a) <= 1.0
+
+
+def test_gptq_actorder_shard_local():
+    """actorder_shards=2: the packed perm never crosses the K/2 shard
+    boundary (TP row-split locality — no serve-time all-gather), and the
+    packed model still evaluates close to the global-perm variant."""
+    import numpy as np
+
+    from qtpu.models import TINY_TEST
+    from qtpu.models.llama import forward, init_params
+    from qtpu.calib.stats import collect_calibration_stats
+    from qtpu.quant.apply import pack_model
+
+    cfg = TINY_TEST
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    batches = [
+        jax.random.randint(jax.random.PRNGKey(5 + i), (1, 32), 0, cfg.vocab_size)
+        for i in range(2)
+    ]
+    stats = collect_calibration_stats(forward, params, batches, cfg)
+    mcfg = {"w_bit": 4, "q_group_size": 64, "actorder": True,
+            "actorder_shards": 2, "nsamples": 8}
+    packed, qmeta = pack_model(params, "gptq", mcfg, stats)
+    perm = np.asarray(packed["layers"]["q_proj"]["perm"])  # [L, K]
+    K = perm.shape[-1]
+    half = K // 2
+    assert np.all(perm[:, :half] < half), "perm crosses shard boundary"
+    assert np.all(perm[:, half:] >= half)
+    # different orderings give different (both valid) W4 models — the
+    # oracle is closeness to the FP forward, not to each other
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, 32), 0, cfg.vocab_size)
+    base = forward(params, ids, cfg)
+    lg = forward(packed, ids, cfg, qmeta=qmeta)
+    gmcfg = dict(mcfg, actorder_shards=1)
+    gpacked, gmeta = pack_model(params, "gptq", gmcfg, stats)
+    glg = forward(gpacked, ids, cfg, qmeta=gmeta)
+    rel_local = float(jnp.abs(lg - base).mean() / jnp.abs(base).mean())
+    rel_global = float(jnp.abs(glg - base).mean() / jnp.abs(base).mean())
+    assert rel_local < 0.35, rel_local
+    assert rel_local < rel_global * 2.0, (rel_local, rel_global)

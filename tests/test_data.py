@@ -103,3 +103,68 @@ def test_synthetic_deterministic():
     blocks = synthetic_blocks(512, 4, 128, seed=7)
     assert len(blocks) == 4 and blocks[0].shape == (1, 128)
     assert a.max() < 512 and a.min() >= 0
+
+
+def test_fixture_roundtrip(tmp_path):
+    """Frozen fixture save → pipeline load (the offline real-data path,
+    docs/ACCURACY.md): calibration blocks and the test stream come back
+    bit-identical through the dataset-name "fixture:<dir>" hook."""
+    import numpy as np
+
+    from qtpu.data.fixture import fixture_meta, save_fixture
+    from qtpu.data.pipeline import get_calibration_dataset, get_test_dataset
+
+    rng = np.random.default_rng(0)
+    calib = [rng.integers(0, 500, (1, 64), dtype=np.int32) for _ in range(5)]
+    test = rng.integers(0, 500, (1, 333), dtype=np.int32)
+    d = str(tmp_path / "fx")
+    save_fixture(d, calib, test, meta={"model_name": "tiny-test"})
+
+    got_c = get_calibration_dataset(None, f"fixture:{d}", None, "train",
+                                    n_samples=3, block_size=64)
+    assert len(got_c) == 3
+    for a, b in zip(got_c, calib):
+        np.testing.assert_array_equal(a, b)
+    got_t = get_test_dataset(None, f"fixture:{d}", None, "test")
+    np.testing.assert_array_equal(got_t, test)
+    assert fixture_meta(d)["model_name"] == "tiny-test"
+
+    # wrong block size must refuse (reference filters rows against the
+    # block size BEFORE packing, so re-splitting would change the set)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        get_calibration_dataset(None, f"fixture:{d}", None, "train",
+                                n_samples=3, block_size=128)
+
+
+def test_fixture_benchmark_end_to_end(tmp_path):
+    """A benchmark config pointed at a fixture runs the full orchestrator
+    offline (tokenizer-free)."""
+    import json
+
+    import numpy as np
+
+    from qtpu.bench import QuantizationBenchmark
+    from qtpu.data.fixture import save_fixture
+
+    rng = np.random.default_rng(1)
+    calib = [rng.integers(0, 500, (1, 64), dtype=np.int32) for _ in range(4)]
+    test = rng.integers(0, 500, (1, 3 * 128), dtype=np.int32)
+    d = str(tmp_path / "fx")
+    save_fixture(d, calib, test)
+
+    bench = QuantizationBenchmark({
+        "model_name": "tiny-test",
+        "quantization_methods": ["rtn"],
+        "calibration_dataset": f"fixture:{d}",
+        "test_dataset": f"fixture:{d}",
+        "n_calibration_samples": 4,
+        "calibration_block_size": 64,
+        "n_test_samples": 3,
+        "test_block_size": 128,
+        "quantization_config": {"rtn": {"w_bit": 8, "q_group_size": 64}},
+        "verbose": False,
+    })
+    bench.run_all_benchmarks()
+    assert bench.results["rtn"].is_success(), bench.results["rtn"].error
