@@ -2,9 +2,18 @@
 the 8-device virtual CPU mesh, committed each round so the sharded path's
 health is diffable (VERDICT r1 missing #3 / next #8). CPU numbers measure
 FUNCTIONAL health, not hardware scaling — recorded as such."""
-import json, sys, time, platform
+import json, os, sys, time, platform
 sys.path.insert(0, "/root/repo")
+
+# The axon sitecustomize may import jax before shell env vars are seen;
+# force the virtual CPU mesh the way tests/conftest.py does (backend init
+# is lazy, so this works as long as no array ops ran yet).
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from qtpu.models import get_model_config
