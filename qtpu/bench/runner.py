@@ -108,22 +108,48 @@ class QuantizationBenchmark:
         self.log("Setup complete!")
 
     def _setup_mesh(self):
-        """Build the ('data','model') mesh from config["mesh"] when more
-        than one device is requested and available; params get their TP
-        shardings, calibration and eval then run sharded."""
+        """Build the device mesh from config["mesh"] when more than one
+        device is requested and available. `{"data": dp, "model": tp}`
+        builds a ('data','model') mesh with Megatron TP shardings;
+        `{"pipe": P}` (with model == 1) builds a ('data','pipe') mesh and
+        shards the stacked layer axis over stages — eval then routes to
+        the GPipe schedule (qtpu.sharding.pipeline.pipeline_nll)."""
         self.mesh = None
         mcfg = self.config.get("mesh") or {}
         dp, tp = int(mcfg.get("data", 1)), int(mcfg.get("model", 1))
+        pp = int(mcfg.get("pipe", 1))
         n_dev = len(jax.devices())
         if dp == -1:
-            dp = max(1, n_dev // max(tp, 1))
-        if dp * tp <= 1:
+            dp = max(1, n_dev // max(tp * pp, 1))
+        if dp * tp * pp <= 1:
             return
-        if dp * tp > n_dev:
+        if dp * tp * pp > n_dev:
             self.log(
-                f"mesh {dp}x{tp} needs {dp * tp} devices, have {n_dev} — "
-                "running single-device"
+                f"mesh {dp}x{tp}x{pp} needs {dp * tp * pp} devices, have "
+                f"{n_dev} — running single-device"
             )
+            return
+        if pp > 1:
+            if tp > 1:
+                self.log(
+                    "mesh: pipe > 1 with model > 1 is unsupported — "
+                    "running single-device"
+                )
+                return
+            if self.model_cfg.num_layers % pp:
+                self.log(
+                    f"mesh: {self.model_cfg.num_layers} layers do not "
+                    f"split over pipe={pp} — running single-device"
+                )
+                return
+            from qtpu.sharding.pipeline import (
+                make_pipe_mesh,
+                shard_params_pipeline,
+            )
+
+            self.mesh = make_pipe_mesh(pp, data=dp)
+            self.params = shard_params_pipeline(self.params, self.mesh)
+            self.log(f"mesh: data={dp} x pipe={pp}")
             return
         from qtpu.sharding import make_mesh, shard_params
 

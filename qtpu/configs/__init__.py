@@ -86,7 +86,7 @@ def default_config() -> dict:
         "use_fast_tokenizer": False,
         "verbose": True,
         # --- TPU extensions ---
-        "mesh": {"data": 1, "model": 1},
+        "mesh": {"data": 1, "model": 1, "pipe": 1},
         "seed": 0,
         "serving": {
             "kv_cache_dtype": "int8",

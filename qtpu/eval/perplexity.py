@@ -55,6 +55,10 @@ def evaluate_perplexity(
     """
     n_avail = test_ids.shape[1] // block_size
     n = min(n_samples, n_avail)
+    if mesh is not None and "pipe" in mesh.axis_names and mesh.shape["pipe"] > 1:
+        return _evaluate_pipelined(
+            params, test_ids, cfg, n, block_size, qmeta, arch, mesh
+        )
     if mesh is not None:
         return _evaluate_sharded(
             params, test_ids, cfg, n, block_size, qmeta, arch, mesh
@@ -69,6 +73,32 @@ def evaluate_perplexity(
     total = jnp.sum(jnp.stack(nlls))
     ppl = jnp.exp(total / (len(nlls) * block_size))
     return float(ppl)
+
+
+def _evaluate_pipelined(params, test_ids, cfg, n, block_size, qmeta, arch, mesh):
+    """Pipeline-parallel eval: each non-overlapping block is one microbatch
+    of the GPipe schedule (qtpu.sharding.pipeline.pipeline_nll), layers
+    sharded over the mesh's `pipe` axis. Exactly the reference per-block
+    math — pipeline_nll returns mean-CE × block_size per microbatch."""
+    import numpy as np
+
+    from qtpu.sharding.pipeline import pipeline_nll, shard_params_pipeline
+
+    # (re-)place params for the pipe mesh: quantized/packed pytrees built
+    # after _setup_mesh may have lost the stage sharding
+    params = shard_params_pipeline(params, mesh)
+    ids = np.asarray(test_ids)[0, : n * block_size].reshape(n, 1, block_size)
+    n_stages = int(mesh.shape["pipe"])
+    nll = pipeline_nll(
+        params,
+        jnp.asarray(ids),
+        cfg,
+        mesh,
+        n_stages,
+        qmeta=qmeta,
+        arch=arch,
+    )
+    return float(jnp.exp(jnp.sum(nll) / (n * block_size)))
 
 
 def _evaluate_sharded(params, test_ids, cfg, n, block_size, qmeta, arch, mesh):
