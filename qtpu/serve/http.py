@@ -66,7 +66,7 @@ class ServingFrontend:
                 p.accepted.set()
             busy = (
                 bool(self.batcher.queue)
-                or self.batcher.prefilling is not None
+                or bool(self.batcher.prefilling)
                 or bool(self.batcher.active)
             )
             if busy:

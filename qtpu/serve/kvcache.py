@@ -161,12 +161,23 @@ def cache_layer_write(layer_kv, new_k, new_v, start: jnp.ndarray, quantized: boo
             vs_c = jnp.where(hit[:, None, :], sv, vs_c)
         return k_c, v_c, ks_c, vs_c
 
-    def wr(c, w, s):  # c [KV, S, ...], w [KV, T, ...]
-        return jax.lax.dynamic_update_slice_in_dim(c, w, s, axis=1)
+    # rows with start ≥ S are INACTIVE (the same convention as the T = 1
+    # masked write): a plain dynamic_update_slice would clamp the start
+    # and corrupt the tail of an inactive row's cache, so those rows keep
+    # their old contents. Active rows use in-place DUS (per-row traffic
+    # only); the select is per-row too, so inactive rows cost one copy of
+    # themselves — the batched-prefill caller gathers only the rows it
+    # prefills, so this stays O(rows-written), not O(full cache).
+    S = k_c.shape[2]
+    active = start < S
 
-    k_c = jax.vmap(wr)(k_c, write_k, start)
-    v_c = jax.vmap(wr)(v_c, write_v, start)
+    def wr(c, w, s, a):  # c [KV, S, ...], w [KV, T, ...]
+        upd = jax.lax.dynamic_update_slice_in_dim(c, w, s, axis=1)
+        return jnp.where(a, upd, c)
+
+    k_c = jax.vmap(wr)(k_c, write_k, start, active)
+    v_c = jax.vmap(wr)(v_c, write_v, start, active)
     if quantized:
-        ks_c = jax.vmap(wr)(ks_c, sk, start)
-        vs_c = jax.vmap(wr)(vs_c, sv, start)
+        ks_c = jax.vmap(wr)(ks_c, sk, start, active)
+        vs_c = jax.vmap(wr)(vs_c, sv, start, active)
     return k_c, v_c, ks_c, vs_c

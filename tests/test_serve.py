@@ -175,6 +175,36 @@ def test_batcher_staggered_admission(setup):
     assert r2.output == list(np.asarray(exp2[0]))
 
 
+def test_batcher_parallel_admission_chunked(setup):
+    """Batched multi-request admission (prefill_parallel > 1) with mixed
+    prompt lengths, some spanning multiple prefill chunks, at a larger
+    max_batch — every request's greedy output must equal the
+    single-sequence path (VERDICT r2 task #5)."""
+    cfg, params = setup
+    lens = [5, 40, 17, 33, 8, 23]
+    prompts = [
+        np.asarray(
+            jax.random.randint(jax.random.PRNGKey(100 + i), (n,), 0, cfg.vocab_size)
+        )
+        for i, n in enumerate(lens)
+    ]
+    expected = []
+    for p in prompts:
+        cache = init_cache(cfg, 1, 256)
+        toks, _ = greedy_generate(params, jnp.asarray(p)[None], cache, cfg, n_tokens=4)
+        expected.append(list(np.asarray(toks[0])))
+
+    eng = ContinuousBatcher(
+        params, cfg, max_batch=16, max_seq_len=128,
+        prefill_chunk=16, prefill_parallel=4,
+    )
+    reqs = [eng.submit(p, max_new_tokens=4) for p in prompts]
+    eng.run()
+    for req, exp in zip(reqs, expected):
+        assert req.done
+        assert req.output == exp, (req.output, exp)
+
+
 def test_pallas_decode_attention_matches_xla(setup):
     """Interpret-mode parity of the int8-KV decode-attention kernel vs the
     XLA dequantize-then-attend path."""
