@@ -142,6 +142,45 @@ def _decode_time_per_token(params, cfg, qmeta, B, prompt_len, n_small, n_large):
     return max(best, 1e-9)
 
 
+def _measure_hbm_gbps():
+    """Read+write copy-chain bandwidth — the roofline denominator for the
+    MFU numbers (VERDICT r2 task #6). ~15 s including compile."""
+    import time as _t
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((256, 1024, 1024), jnp.int8)  # 256 MB
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(x, n):
+        def body(c, _):
+            return c + 1, None
+
+        c, _ = jax.lax.scan(body, x, None, length=n)
+        return c
+
+    def run(n):
+        t0 = _t.perf_counter()
+        float(jnp.sum(chain(x, n)[0, 0, :8].astype(jnp.float32)))
+        return _t.perf_counter() - t0
+
+    run(2)
+    best = min((run(40) - run(2)) / 38 for _ in range(3))
+    return (2 * x.nbytes / 1e9) / best
+
+
+def _streamed_bytes(params):
+    """Bytes a decode step must stream for weights: all layer leaves +
+    lm_head (+final norm; embed row-gather is negligible)."""
+    import jax
+
+    return sum(
+        a.nbytes for a in jax.tree_util.tree_leaves(params["layers"])
+    ) + sum(a.nbytes for a in jax.tree_util.tree_leaves(params["lm_head"]))
+
+
 def main():
     from qtpu.models import TINYLLAMA_1_1B
 
@@ -171,6 +210,12 @@ def main():
 
     tps_packed = B / t_packed
     tps_dense = B / t_dense
+    # weight-stream MFU: fraction of the time the step's weight bytes
+    # would take at the measured copy bandwidth (1.0 = every step is pure
+    # weight streaming at full HBM speed — the decode speed-of-light)
+    gbps = _measure_hbm_gbps()
+    mfu_packed = (_streamed_bytes(packed) / 1e9 / gbps) / t_packed
+    mfu_dense = (_streamed_bytes(params) / 1e9 / gbps) / t_dense
     print(
         json.dumps(
             {
@@ -178,6 +223,9 @@ def main():
                 "value": round(tps_packed, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(tps_packed / tps_dense, 4),
+                "mfu_weight_stream": round(mfu_packed, 4),
+                "mfu_weight_stream_dense": round(mfu_dense, 4),
+                "hbm_gbps_measured": round(gbps, 1),
             }
         )
     )

@@ -553,13 +553,22 @@ def pack_model(
 
             from qtpu.core.packing import pack_int4
             from qtpu.quant.gptq import (
+                check_packed_export,
                 gptq_column_sweep,
                 gptq_prepare_factor,
                 gptq_prepare_factor_lowrank,
                 proxy_hessian_diag,
             )
 
-            bs = max(int(mcfg.get("blocksize", 128)), g)
+            # the single support-matrix gate (qtpu.quant.gptq docstring)
+            bs = check_packed_export(
+                w_bit,
+                g,
+                int(mcfg.get("blocksize", 128)),
+                actorder,
+                int(mcfg.get("actorder_shards", 1)),
+                w.shape[-2],
+            )
 
             def gptq_one(w_kn, U, perm=None):
                 w_oi = w_kn.T.astype(jnp.float32)
@@ -619,7 +628,10 @@ def pack_model(
                 )
                 Kc = d.shape[0]
                 s_ = actorder_shards
-                if s_ > 1 and Kc % s_ == 0:
+                if s_ > 1:
+                    # K % shards validated by check_packed_export above —
+                    # never silently fall back to a boundary-crossing
+                    # global perm
                     blk = Kc // s_
                     return jnp.concatenate(
                         [

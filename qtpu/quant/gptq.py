@@ -21,6 +21,28 @@ Two modes:
 
 Weights are in reference orientation [out_features, in_features]; Hessians
 are [in, in].
+
+Packed-export support matrix (enforced by check_packed_export, the single
+gate every export path goes through — quant.apply.pack_model calls it per
+site):
+
+  | knob              | supported for packed export (`return_ints`)       |
+  |-------------------|---------------------------------------------------|
+  | w_bit             | 4 (int4 group-halves packing) or 8 (int8)          |
+  | q_group_size      | > 0, divides K; per-(row, group) scales/zeros      |
+  | blocksize         | any ≥ 1; compensation blocks are ALIGNED UP to the |
+  |                   | scale group (effective block = q_group_size) so    |
+  |                   | each exported group's scale freezes at group entry |
+  | error_compensation| must be True (parity mode has no integer codes)    |
+  | actorder          | yes — perm stored per site, activations gathered   |
+  |                   | into Hessian-diagonal order at serve time (g_idx)  |
+  | actorder_shards   | ≥ 1; shard-LOCAL perms require K % shards == 0     |
+  |                   | (otherwise error: a global perm would make the     |
+  |                   | serve-time gather cross tensor-parallel shards)    |
+
+The layer-level API (gptq_quantize_layer) additionally rejects
+return_ints+actorder — it has nowhere to store the perm; pack_model owns
+perm storage and is the actorder export path.
 """
 
 from __future__ import annotations
@@ -29,6 +51,46 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def check_packed_export(
+    w_bit: int,
+    q_group_size: int,
+    blocksize: int,
+    actorder: bool,
+    actorder_shards: int,
+    K: int,
+    error_compensation: bool = True,
+) -> int:
+    """Validate a GPTQ packed-export config against the support matrix
+    (module docstring). Returns the effective compensation blocksize.
+    Raises ValueError with the violated rule otherwise."""
+    if w_bit not in (4, 8):
+        raise ValueError(
+            f"gptq packed export supports w_bit in (4, 8), got {w_bit}"
+        )
+    if q_group_size <= 0:
+        raise ValueError("gptq packed export requires q_group_size > 0")
+    if K % q_group_size:
+        raise ValueError(
+            f"q_group_size {q_group_size} does not divide K={K}"
+        )
+    if not error_compensation:
+        raise ValueError(
+            "packed export requires error_compensation=True (parity mode "
+            "produces no integer codes)"
+        )
+    if actorder_shards < 1:
+        raise ValueError("actorder_shards must be >= 1")
+    if actorder and actorder_shards > 1 and K % actorder_shards:
+        raise ValueError(
+            f"actorder_shards={actorder_shards} does not divide K={K} — a "
+            "global perm would cross tensor-parallel shard boundaries at "
+            "serve time; pick a shard count dividing every site's K"
+        )
+    # compensation blocks align UP to the scale group so each exported
+    # group's scale freezes at group entry (gptq_column_sweep B == g)
+    return max(int(blocksize), q_group_size)
 
 
 def build_proxy_hessian(

@@ -58,6 +58,56 @@ def test_sharded_packed_forward(setup):
     np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
 
 
+def test_sharded_actorder_packed_forward(setup):
+    """GPTQ actorder_shards=2 under a 2-way model mesh: the serve-time
+    perm gather stays shard-local, so the sharded packed forward equals
+    the single-device one (VERDICT r2 task #8)."""
+    from qtpu.calib.stats import collect_calibration_stats
+
+    cfg, params, ids = setup
+    batches = [
+        jax.random.randint(jax.random.PRNGKey(40 + i), (1, 32), 0, cfg.vocab_size)
+        for i in range(2)
+    ]
+    stats = collect_calibration_stats(forward, params, batches, cfg)
+    packed, qmeta = pack_model(
+        params,
+        "gptq",
+        {"w_bit": 4, "q_group_size": 64, "actorder": True,
+         "actorder_shards": 2, "nsamples": 8},
+        stats,
+    )
+    expect = np.asarray(forward(packed, ids, cfg, qmeta=qmeta))
+    mesh = make_mesh(data=2, model=2)
+    p_sh = shard_params(packed, mesh)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(forward(p_sh, ids_sh, cfg, qmeta=qmeta))
+    np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-2)
+
+
+def test_gptq_export_support_matrix():
+    """check_packed_export is the single gate for the packed-export knob
+    matrix (qtpu.quant.gptq docstring)."""
+    from qtpu.quant.gptq import check_packed_export
+
+    # effective blocksize aligns up to the group
+    assert check_packed_export(4, 64, 32, False, 1, 256) == 64
+    assert check_packed_export(8, 128, 256, True, 2, 256) == 256
+    with pytest.raises(ValueError, match="w_bit"):
+        check_packed_export(3, 64, 64, False, 1, 256)
+    with pytest.raises(ValueError, match="q_group_size"):
+        check_packed_export(4, -1, 64, False, 1, 256)
+    with pytest.raises(ValueError, match="divide K"):
+        check_packed_export(4, 96, 96, False, 1, 256)
+    with pytest.raises(ValueError, match="error_compensation"):
+        check_packed_export(4, 64, 64, False, 1, 256, error_compensation=False)
+    with pytest.raises(ValueError, match="shard"):
+        check_packed_export(4, 64, 64, True, 3, 256)
+    # shards only constrain when actorder is on
+    assert check_packed_export(4, 64, 64, False, 3, 256) == 64
+
+
 def test_sharded_packed_decode(setup):
     """TP+DP serving: prefill + decode steps with sharded fused-packed
     params must match the single-device cached path (SURVEY §5.8 — the

@@ -1,0 +1,319 @@
+"""Per-step decode time budget on the real chip → results/decode_budget.json
+(VERDICT r2 task #1: "commit a per-step budget artifact ... per-layer ms for
+matmuls / attention+cache / norms+rope / dispatch at B=8 and B=32, packed vs
+dense").
+
+Methodology (relay backend: block_until_ready does not fence — every timing
+chains N data-dependent scanned iterations and differences a small-N vs
+large-N run around one scalar host readback; best of 3):
+  * hbm_gbps           — big-copy bandwidth, the roofline denominator
+  * full_step          — decode_multi through the serving path (per step)
+  * matmuls            — the 4 packed matmul sites + norms, scanned over
+                         layers, no attention/cache (stacked + staged)
+  * attn_cache         — qkv-shaped inputs through write+attend only
+  * lm_head            — final norm + packed lm_head matmul + argmax
+  * glue               — embed lookup + rope tables + mask + sampling
+Weight-stream bound = packed model bytes ÷ measured HBM GB/s.
+"""
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.models import TINYLLAMA_1_1B
+from qtpu.bench.synth import tiled_packed_llama
+from qtpu.models.ops import apply_rope, linear, rms_norm, rope_tables
+
+cfg = TINYLLAMA_1_1B
+L = cfg.num_layers
+OUT = os.environ.get("QTPU_BUDGET_OUT", "/root/repo/results/decode_budget.json")
+
+
+def timed_steps(fn, n_small=2, n_large=100, repeats=3):
+    """ms per chained step: fn(n) must run n data-dependent steps and end
+    with a scalar readback."""
+    fn(n_small)  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t_small_0 = time.perf_counter(); fn(n_small); t_small = time.perf_counter() - t_small_0
+        t_large_0 = time.perf_counter(); fn(n_large); t_large = time.perf_counter() - t_large_0
+        best = min(best, (t_large - t_small) / (n_large - n_small))
+    return best * 1e3
+
+
+def measure_hbm_gbps():
+    x = jnp.zeros((256, 1024, 1024), jnp.int8)  # 256 MB
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(x, n):
+        def body(c, _):
+            return c + 1, None
+        c, _ = jax.lax.scan(body, x, None, length=n)
+        return c
+
+    def run(n):
+        float(jnp.sum(chain(x, n)[0, 0, :8].astype(jnp.float32)))
+
+    ms = timed_steps(run, 2, 40)
+    return (2 * x.nbytes / 1e9) / (ms / 1e3)  # read+write per step
+
+
+def packed_model_bytes(packed):
+    return sum(
+        a.nbytes for a in jax.tree_util.tree_leaves(packed["layers"])
+    ) + sum(a.nbytes for a in jax.tree_util.tree_leaves(packed["lm_head"]))
+
+
+def dense_model_bytes(cfg):
+    per_layer = (
+        cfg.hidden_size * (cfg.q_dim + 2 * cfg.kv_dim)
+        + cfg.q_dim * cfg.hidden_size
+        + 3 * cfg.hidden_size * cfg.intermediate_size
+    )
+    return (per_layer * cfg.num_layers + cfg.hidden_size * cfg.vocab_size) * 2
+
+
+def bench_full_step(params, qmeta, B, prompt_len=128):
+    from qtpu.serve import init_cache
+    from qtpu.serve.decode import decode_multi, prefill
+
+    BLOCK = 50
+    prompt = jnp.asarray(
+        np.random.default_rng(1).integers(0, cfg.vocab_size, (B, prompt_len)),
+        jnp.int32,
+    )
+    key = jax.random.PRNGKey(0)
+
+    def run(n_blocks):
+        cache = init_cache(cfg, B, prompt_len + 6 * BLOCK + 8, quantized=True)
+        logits, cache = prefill(params, prompt, cache, cfg, qmeta)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        pos = jnp.full((B,), prompt_len, jnp.int32)
+        for _ in range(n_blocks):
+            toks, cache = decode_multi(
+                params, tok, pos, cache, None, key, cfg, BLOCK, qmeta
+            )
+            tok = toks[:, -1]
+            pos = pos + BLOCK
+        float(jnp.sum(tok))
+
+    return timed_steps(run, 1, 6) / 50  # ms per decode step
+
+
+def _mm_body(x, lp, l, qm):
+    """The 4 packed matmul sites + norms of one layer (no attention)."""
+    h = rms_norm(x, lp["attn_norm"] if l is None else lp["attn_norm"][l], cfg.norm_eps)
+    qkv = linear(h, lp["qkv_proj"], qm("qkv_proj"), layer=l)
+    q = qkv[..., : cfg.q_dim]
+    x = x + linear(q, lp["o_proj"], qm("o_proj"), layer=l)
+    h = rms_norm(x, lp["mlp_norm"] if l is None else lp["mlp_norm"][l], cfg.norm_eps)
+    gu = linear(h, lp["gateup_proj"], qm("gateup_proj"), layer=l)
+    act = (
+        jax.nn.silu(gu[..., : cfg.intermediate_size].astype(jnp.float32)).astype(x.dtype)
+        * gu[..., cfg.intermediate_size :]
+    )
+    x = x + linear(act, lp["down_proj"], qm("down_proj"), layer=l)
+    return x
+
+
+def bench_matmuls(layers, qmeta_d, B, mode):
+    qm = qmeta_d.get if qmeta_d else (lambda s: None)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def stacked(layers, x0, n):
+        def step(x, _):
+            def body(x, l):
+                return _mm_body(x, layers, l, qm), None
+            x, _ = jax.lax.scan(body, x, jnp.arange(L, dtype=jnp.int32))
+            return x, None
+        x, _ = jax.lax.scan(step, x0, None, length=n)
+        return x
+
+    @partial(jax.jit, static_argnames=("n",))
+    def staged(layers, x0, n):
+        def step(x, _):
+            def body(x, lp):
+                return _mm_body(x, lp, None, qm), None
+            x, _ = jax.lax.scan(body, x, layers)
+            return x, None
+        x, _ = jax.lax.scan(step, x0, None, length=n)
+        return x
+
+    fn = stacked if mode == "stacked" else staged
+
+    def run(n):
+        x0 = jnp.ones((B, 1, cfg.hidden_size), jnp.bfloat16) * 0.01
+        out = fn(layers, x0, n)
+        float(jnp.sum(out.astype(jnp.float32)))
+
+    return timed_steps(run, 2, 60)
+
+
+def bench_attn_cache(B, S=512):
+    """write+attend across L layers (int8 cache), via the model's fused
+    path, per decode step."""
+    from qtpu.models.llama import _write_and_attend
+    from qtpu.serve.kvcache import init_cache as _ic
+
+    cache = _ic(cfg, B, S, quantized=True)
+    H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    start = jnp.full((B,), S - 9, jnp.int32)
+    kpos = jnp.arange(cache.max_len)
+    mask = kpos[None, None, :] <= start[:, None, None]
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(q0, k0, v0, cache, n):
+        def step(carry, _):
+            q, k, v, (ck, cv, cks, cvs) = carry
+
+            def body(x, xs):
+                kc, vc, ksc, vsc = xs
+                attn, lkv = _write_and_attend(
+                    q * (1.0 + 1e-6 * x[0, 0, 0]), k, v,
+                    (kc, vc, ksc, vsc), start, mask, cfg,
+                )
+                return attn, lkv
+
+            attn, (ck, cv, cks, cvs) = jax.lax.scan(
+                body, jnp.zeros_like(q).reshape(B, 1, -1), (ck, cv, cks, cvs)
+            )
+            # data dependence: next q perturbed by this output
+            q = q + 1e-9 * attn.reshape(q.shape)
+            return (q, k, v, (ck, cv, cks, cvs)), None
+
+        carry, _ = jax.lax.scan(
+            step, (q0, k0, v0, (cache.k, cache.v, cache.k_scale, cache.v_scale)),
+            None, length=n,
+        )
+        return carry[0]
+
+    q0 = jnp.ones((B, 1, H, hd), jnp.bfloat16) * 0.02
+    k0 = jnp.ones((B, 1, KV, hd), jnp.bfloat16) * 0.02
+    v0 = jnp.ones((B, 1, KV, hd), jnp.bfloat16) * 0.02
+
+    def run(n):
+        out = chain(q0, k0, v0, cache, n)
+        float(jnp.sum(out.astype(jnp.float32)))
+
+    return timed_steps(run, 2, 60)
+
+
+def bench_lm_head(packed, qmeta_d, B):
+    qmh = qmeta_d.get("lm_head") if qmeta_d else None
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(params, x0, n):
+        def step(x, _):
+            h = rms_norm(x, params["final_norm"], cfg.norm_eps)
+            logits = linear(h, params["lm_head"], qmh).astype(jnp.float32)
+            tok = jnp.argmax(logits, -1)
+            return x + 1e-9 * tok.astype(x.dtype)[..., None], None
+        x, _ = jax.lax.scan(step, x0, None, length=n)
+        return x
+
+    def run(n):
+        x0 = jnp.ones((B, 1, cfg.hidden_size), jnp.bfloat16) * 0.01
+        out = chain(packed, x0, n)
+        float(jnp.sum(out.astype(jnp.float32)))
+
+    return timed_steps(run, 2, 100)
+
+
+def bench_glue(packed, B):
+    """embed + rope tables + mask build + argmax sampling (no layers)."""
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(params, tok0, n):
+        S = 512
+
+        def step(tok, _):
+            pos = jnp.full((B, 1), 100, jnp.int32) + tok[:, None] * 0
+            x = params["embed"][tok[:, None]].astype(jnp.bfloat16)
+            cos, sin = rope_tables(pos, cfg.head_dim, cfg.rope_theta)
+            kpos = jnp.arange(S)
+            mask = kpos[None, None, :] <= pos[:, :, None]
+            val = (
+                jnp.sum(x.astype(jnp.float32))
+                + jnp.sum(cos) + jnp.sum(sin)
+                + jnp.sum(mask.astype(jnp.float32))
+            )
+            return (tok + val.astype(jnp.int32) % 2) % cfg.vocab_size, None
+
+        tok, _ = jax.lax.scan(step, tok0, None, length=n)
+        return tok
+
+    def run(n):
+        tok0 = jnp.ones((B,), jnp.int32)
+        out = chain(packed, tok0, n)
+        float(jnp.sum(out))
+
+    return timed_steps(run, 2, 100)
+
+
+def main():
+    dev = jax.devices()[0]
+    packed, qmeta = tiled_packed_llama(cfg, 4, 128)
+    qmeta_d = dict(qmeta)
+    gbps = measure_hbm_gbps()
+    w_packed = packed_model_bytes(packed)
+    w_dense = dense_model_bytes(cfg)
+
+    budget = {
+        "device": str(dev.device_kind),
+        "model": "TinyLlama-1.1B",
+        "w_bit": 4,
+        "hbm_gbps_measured": round(gbps, 1),
+        "packed_weight_bytes": w_packed,
+        "dense_weight_bytes": w_dense,
+        "weight_stream_bound_ms": {
+            "packed": round(w_packed / gbps / 1e6, 3),
+            "dense": round(w_dense / gbps / 1e6, 3),
+        },
+        "batches": {},
+    }
+
+    for B in (8, 32):
+        row = {}
+        row["full_step_packed_ms"] = round(bench_full_step(packed, qmeta, B), 3)
+        row["matmuls_packed_staged_ms"] = round(
+            bench_matmuls(packed["layers"], qmeta_d, B, "staged"), 3
+        )
+        row["matmuls_packed_stacked_ms"] = round(
+            bench_matmuls(packed["layers"], qmeta_d, B, "stacked"), 3
+        )
+        row["attn_cache_ms"] = round(bench_attn_cache(B), 3)
+        row["lm_head_packed_ms"] = round(bench_lm_head(packed, qmeta_d, B), 3)
+        row["glue_ms"] = round(bench_glue(packed, B), 3)
+        acc = (
+            row["matmuls_packed_staged_ms"]
+            + row["attn_cache_ms"]
+            + row["lm_head_packed_ms"]
+            + row["glue_ms"]
+        )
+        row["sum_of_parts_ms"] = round(acc, 3)
+        row["unattributed_ms"] = round(row["full_step_packed_ms"] - acc, 3)
+        row["tokens_per_s"] = round(B / row["full_step_packed_ms"] * 1e3, 1)
+        row["pct_of_weight_stream_bound"] = round(
+            100 * budget["weight_stream_bound_ms"]["packed"]
+            / row["full_step_packed_ms"],
+            1,
+        )
+        budget["batches"][f"B{B}"] = row
+        print(json.dumps({f"B{B}": row}), flush=True)
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(budget, f, indent=1)
+    print(json.dumps({"ok": True, "out": OUT}))
+
+
+if __name__ == "__main__":
+    main()
