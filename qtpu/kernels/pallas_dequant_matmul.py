@@ -73,7 +73,29 @@ def _dq_matmul_body(
     for c in range(n_groups):  # static unroll; all indices static
         s = s_ref[c, :][None, :].astype(jnp.float32)  # [1, bn]
         xg = x[:, c * group : (c + 1) * group]
-        if bits in (2, 4) and split_dots and not _F32_UNPACK:
+        if (
+            bits == 4
+            and split_dots
+            and os.environ.get("QTPU_UNPACK", "i32") == "i8"
+        ):
+            # int8-NATIVE nibble extraction: no i32 round trip — masks and
+            # the arithmetic shift stay in int8 registers (4× less register
+            # traffic than the i32 chain) and convert straight to bf16 for
+            # the MXU. lo nibble: v & 0x0F ∈ [0, 15] exactly (sign bit
+            # never set); hi nibble: (v >> 4) & 0x0F is sign-correct for
+            # arithmetic shift.
+            h = group // 2
+            lo_row = c * h
+            pu = d_ref[lo_row : lo_row + h, :]  # [group/2, bn] int8
+            lo = (pu & jnp.int8(0x0F)).astype(x.dtype)
+            hi = (
+                jax.lax.shift_right_arithmetic(pu, jnp.int8(4))
+                & jnp.int8(0x0F)
+            ).astype(x.dtype)
+            part = jnp.dot(
+                xg[:, :h], lo, preferred_element_type=jnp.float32
+            ) + jnp.dot(xg[:, h:], hi, preferred_element_type=jnp.float32)
+        elif bits in (2, 4) and split_dots and not _F32_UNPACK:
             # Split-dot unpack: one MXU dot per bit-field instead of
             # concatenating unpacked fields into one [group, bn] operand.
             # The concatenate was pure VPU copy work, and the low field

@@ -26,43 +26,65 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pick_blocks(B, KV, S, hd, bytes_per_head, scale_bytes_per_head=0):
+    """(bb, kb): sequences × kv-heads per program, sized for the 16 MB
+    VMEM (≤ ~7 MB of cache blocks per program → room for double
+    buffering). Both divide their axis."""
+    budget = 7 * 1024 * 1024
+    per_head = bytes_per_head + scale_bytes_per_head
+    kb = max(1, min(KV, budget // max(per_head, 1)))
+    while KV % kb:
+        kb -= 1
+    bb = max(1, min(B, budget // max(kb * per_head, 1)))
+    while B % bb:
+        bb -= 1
+    return bb, kb
+
+
 def _decode_attn_kernel(
-    pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, kb, window
+    pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, bb, kb, window
 ):
-    """One program: `kb` kv-heads of one sequence (statically unrolled).
+    """One program: `bb` sequences × `kb` kv-heads (statically unrolled).
 
     Grid-step overhead is ~0.5 µs on v5e; at MHA head counts a
     per-(sequence, head) grid pays it 256× per layer (measured
     132 µs/layer for Llama-2-7B decode attention, ~10× the actual
-    HBM/MXU work). Blocking kv-heads into one program amortizes it while
-    keeping each head's [G, S] score tile MXU-shaped."""
-    b = pl.program_id(0)
+    HBM/MXU work). Blocking heads and sequences into one program
+    amortizes it while keeping each head's [G, S] score tile MXU-shaped.
+    Scales ride the LANE dimension and dots run in bf16 — see
+    _decode_attn_write_kernel."""
     G, hd = q_ref.shape[2], q_ref.shape[3]
     S = k_ref.shape[2]
-    pos = pos_ref[b]
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-    for j in range(kb):  # static unroll over the kv-head block
-        q = q_ref[0, j].astype(jnp.float32)  # [G, hd]
-        k = k_ref[0, j].astype(jnp.float32)  # [S, hd] (int8 → f32)
-        ks = ks_ref[0, j, :, 0].astype(jnp.float32)  # [S] (fed as [..,S,1])
-
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, S]
-        scores = scores * ks[None, :] / jnp.sqrt(float(hd))
+    for bi in range(bb):
+        b = pl.program_id(0) * bb + bi
+        pos = pos_ref[b]
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
         valid = s_idx <= pos
         if window > 0:  # sliding-window band (Mistral)
             valid &= s_idx > pos - window
-        scores = jnp.where(valid, scores, -1e30)
+        for j in range(kb):  # static unroll over the kv-head block
+            q = q_ref[bi, j]  # [G, hd] bf16
+            ks = ks_ref[bi, j].astype(jnp.float32)  # [S] in lanes
 
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
+            scores = jax.lax.dot_general(
+                q, k_ref[bi, j].astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, S]
+            scores = scores * ks[None, :] * (1.0 / float(hd) ** 0.5)
+            scores = jnp.where(valid, scores, -1e30)
 
-        vs = vs_ref[0, j, :, 0].astype(jnp.float32)  # [S]
-        v = v_ref[0, j].astype(jnp.float32)  # [S, hd]
-        out = jnp.dot(p * vs[None, :], v, preferred_element_type=jnp.float32)
-        o_ref[0, j] = out.astype(o_ref.dtype)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
+
+            vs = vs_ref[bi, j].astype(jnp.float32)  # [S] in lanes
+            pv = (p * vs[None, :]).astype(jnp.bfloat16)
+            out = jnp.dot(
+                pv, v_ref[bi, j].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[bi, j] = out.astype(o_ref.dtype)
 
 
 def _decode_attn_write_kernel(
@@ -80,6 +102,7 @@ def _decode_attn_write_kernel(
     kso_ref,
     vso_ref,
     *,
+    bb,
     kb,
     window,
 ):
@@ -90,64 +113,69 @@ def _decode_attn_write_kernel(
     standalone attention kernel ~0.62 ms/step on v5e (TinyLlama B=8 —
     measured by stripping each from the full decode program); both stream
     the same [S, hd] tiles, so fusing halves the cache traffic and drops
-    one kernel launch + XLA pass per layer. Cache tiles are input/output
-    aliased — the tile is already in VMEM for the scores, and the write-
-    back is the row blend."""
-    b = pl.program_id(0)
-    G, hd = q_ref.shape[2], q_ref.shape[3]
+    one kernel launch + XLA pass per layer.
+
+    Layout/precision choices (measured, tools/exp_attn_v2.py on v5e:
+    48.7 → 22.6 µs/layer at B=8, 272 → 104 at B=32 vs the first-round
+    kernel): scales live in the LANE dimension ([.., kb, S] blocks — the
+    old [.., S, 1] blocks forced a sublane→lane transpose of every scale
+    vector per head), MXU dots run in bf16 (int8 codes are exact in bf16;
+    f32 MXU multiplies cost multiple passes), and `bb` sequences share one
+    program (fewer grid steps → fewer DMA issues)."""
     S = k_ref.shape[2]
-    pos = pos_ref[b]
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-    row_hit = jax.lax.broadcasted_iota(jnp.int32, (S, hd), 0) == pos  # [S,hd]
-    srow = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) == pos  # [S,1]
-    for j in range(kb):  # static unroll over the kv-head block
-        # quantize the new K/V row (absmax over hd → one f32 scale)
-        kn = kn_ref[0, j, 0].astype(jnp.float32)  # [hd]
-        vn = vn_ref[0, j, 0].astype(jnp.float32)
-        k_sc = jnp.clip(jnp.max(jnp.abs(kn)) / 127.0, 1e-8, None)
-        v_sc = jnp.clip(jnp.max(jnp.abs(vn)) / 127.0, 1e-8, None)
-        kq = jnp.clip(jnp.round(kn / k_sc), -127, 127)  # [hd] f32 codes
-        vq = jnp.clip(jnp.round(vn / v_sc), -127, 127)
-
-        # blend row into the cache tile in int8 (positions ≥ S never hit →
-        # tile passes through unchanged); the write into the output block
-        # IS the scan-ys cache update — one read + one write of the tile
-        ki8 = jnp.where(
-            row_hit, kq.astype(jnp.int8)[None, :], k_ref[0, j]
-        )  # [S, hd] int8
-        vi8 = jnp.where(row_hit, vq.astype(jnp.int8)[None, :], v_ref[0, j])
-        ks_bl = jnp.where(srow, k_sc, ks_ref[0, j].astype(jnp.float32))
-        vs_bl = jnp.where(srow, v_sc, vs_ref[0, j].astype(jnp.float32))
-        ko_ref[0, j] = ki8
-        vo_ref[0, j] = vi8
-        kso_ref[0, j] = ks_bl
-        vso_ref[0, j] = vs_bl
-        k_bl = ki8.astype(jnp.float32)
-        v_bl = vi8.astype(jnp.float32)
-
-        q = q_ref[0, j].astype(jnp.float32)  # [G, hd]
-        scores = jax.lax.dot_general(
-            q, k_bl, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [G, S]
-        scores = scores * ks_bl[:, 0][None, :] / jnp.sqrt(float(hd))
+    G, hd = q_ref.shape[2], q_ref.shape[3]
+    for bi in range(bb):
+        b = pl.program_id(0) * bb + bi
+        pos = pos_ref[b]
+        row_hit = jax.lax.broadcasted_iota(jnp.int32, (S, hd), 0) == pos
+        lane_hit = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[0] == pos
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
         valid = s_idx <= pos
-        if window > 0:
+        if window > 0:  # sliding-window band (Mistral)
             valid &= s_idx > pos - window
-        scores = jnp.where(valid, scores, -1e30)
+        for j in range(kb):  # static unroll over the kv-head block
+            # quantize the new K/V row (absmax over hd → one f32 scale)
+            kn = kn_ref[bi, j, 0].astype(jnp.float32)  # [hd]
+            vn = vn_ref[bi, j, 0].astype(jnp.float32)
+            k_sc = jnp.clip(jnp.max(jnp.abs(kn)) / 127.0, 1e-8, None)
+            v_sc = jnp.clip(jnp.max(jnp.abs(vn)) / 127.0, 1e-8, None)
+            kq = jnp.clip(jnp.round(kn / k_sc), -127, 127)
+            vq = jnp.clip(jnp.round(vn / v_sc), -127, 127)
 
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
-        out = jnp.dot(
-            p * vs_bl[:, 0][None, :], v_bl, preferred_element_type=jnp.float32
-        )
-        o_ref[0, j] = out.astype(o_ref.dtype)
+            # blend row into the cache tile in int8 (positions ≥ S never
+            # hit → tile passes through unchanged); the write into the
+            # output block IS the scan-ys cache update
+            ki8 = jnp.where(row_hit, kq.astype(jnp.int8)[None, :], k_ref[bi, j])
+            vi8 = jnp.where(row_hit, vq.astype(jnp.int8)[None, :], v_ref[bi, j])
+            ks_bl = jnp.where(lane_hit, k_sc, ks_ref[bi, j].astype(jnp.float32))
+            vs_bl = jnp.where(lane_hit, v_sc, vs_ref[bi, j].astype(jnp.float32))
+            ko_ref[bi, j] = ki8
+            vo_ref[bi, j] = vi8
+            kso_ref[bi, j] = ks_bl
+            vso_ref[bi, j] = vs_bl
+
+            q = q_ref[bi, j]  # [G, hd] bf16
+            scores = jax.lax.dot_general(
+                q, ki8.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, S]
+            scores = scores * ks_bl[None, :] * (1.0 / float(hd) ** 0.5)
+            scores = jnp.where(valid, scores, -1e30)
+
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
+            pv = (p * vs_bl[None, :]).astype(jnp.bfloat16)
+            out = jnp.dot(
+                pv, vi8.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[bi, j] = out.astype(o_ref.dtype)
 
 
 def _decode_attn_write_bf16_kernel(
     pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ko_ref, vo_ref,
-    *, kb, window
+    *, bb, kb, window
 ):
     """bf16-cache variant of the fused write+attend kernel: no per-row
     scales, no int8 quant/dequant converts — the blend and both dots run
@@ -155,32 +183,33 @@ def _decode_attn_write_bf16_kernel(
     kernel cost is convert/VPU-bound, not DMA-bound (measured ~49 µs/layer
     fused-int8 vs ~4.5 µs of tile DMA on v5e), so this is the latency
     configuration; int8 stays the capacity configuration."""
-    b = pl.program_id(0)
     G, hd = q_ref.shape[2], q_ref.shape[3]
     S = k_ref.shape[2]
-    pos = pos_ref[b]
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-    row_hit = jax.lax.broadcasted_iota(jnp.int32, (S, hd), 0) == pos
-    for j in range(kb):
-        k_bl = jnp.where(row_hit, kn_ref[0, j, 0][None, :], k_ref[0, j])
-        v_bl = jnp.where(row_hit, vn_ref[0, j, 0][None, :], v_ref[0, j])
-        ko_ref[0, j] = k_bl
-        vo_ref[0, j] = v_bl
+    for bi in range(bb):
+        b = pl.program_id(0) * bb + bi
+        pos = pos_ref[b]
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+        row_hit = jax.lax.broadcasted_iota(jnp.int32, (S, hd), 0) == pos
+        for j in range(kb):
+            k_bl = jnp.where(row_hit, kn_ref[bi, j, 0][None, :], k_ref[bi, j])
+            v_bl = jnp.where(row_hit, vn_ref[bi, j, 0][None, :], v_ref[bi, j])
+            ko_ref[bi, j] = k_bl
+            vo_ref[bi, j] = v_bl
 
-        q = q_ref[0, j]  # [G, hd] bf16
-        scores = jax.lax.dot_general(
-            q, k_bl, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / jnp.sqrt(float(hd))
-        valid = s_idx <= pos
-        if window > 0:
-            valid &= s_idx > pos - window
-        scores = jnp.where(valid, scores, -1e30)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_bl.dtype)
-        out = jnp.dot(p, v_bl, preferred_element_type=jnp.float32)
-        o_ref[0, j] = out.astype(o_ref.dtype)
+            q = q_ref[bi, j]  # [G, hd] bf16
+            scores = jax.lax.dot_general(
+                q, k_bl, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(float(hd))
+            valid = s_idx <= pos
+            if window > 0:
+                valid &= s_idx > pos - window
+            scores = jnp.where(valid, scores, -1e30)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_bl.dtype)
+            out = jnp.dot(p, v_bl, preferred_element_type=jnp.float32)
+            o_ref[bi, j] = out.astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("window", "interpret"))
@@ -199,31 +228,30 @@ def pallas_decode_attention_write_bf16(
     kn = jnp.swapaxes(k_new, 1, 2).astype(k_c.dtype)
     vn = jnp.swapaxes(v_new, 1, 2).astype(v_c.dtype)
 
-    kb = max(1, min(KV, (4 * 1024 * 1024) // (4 * S * hd)))
-    while KV % kb:
-        kb -= 1
+    # bf16 k+v stream in AND out per head (8·S·hd bytes)
+    bb, kb = _pick_blocks(B, KV, S, hd, 8 * S * hd)
 
     def ix(b, h, pos):
         return (b, h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, KV // kb),
+        grid=(B // bb, KV // kb),
         in_specs=[
-            pl.BlockSpec((1, kb, G, hd), ix),
-            pl.BlockSpec((1, kb, 1, hd), ix),
-            pl.BlockSpec((1, kb, 1, hd), ix),
-            pl.BlockSpec((1, kb, S, hd), ix),
-            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, G, hd), ix),
+            pl.BlockSpec((bb, kb, 1, hd), ix),
+            pl.BlockSpec((bb, kb, 1, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
         ],
         out_specs=[
-            pl.BlockSpec((1, kb, G, hd), ix),
-            pl.BlockSpec((1, kb, S, hd), ix),
-            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, G, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
         ],
     )
     out, k_o, v_o = pl.pallas_call(
-        partial(_decode_attn_write_bf16_kernel, kb=kb, window=int(window)),
+        partial(_decode_attn_write_bf16_kernel, bb=bb, kb=kb, window=int(window)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
@@ -257,42 +285,44 @@ def pallas_decode_attention_write(
     kn = jnp.swapaxes(k_new, 1, 2)  # [B, KV, 1, hd]
     vn = jnp.swapaxes(v_new, 1, 2)
 
-    kb = max(1, min(KV, (4 * 1024 * 1024) // (2 * S * hd)))
-    while KV % kb:
-        kb -= 1
+    # k+v stream in AND out per head (4·S·hd int8) + scale rows in/out
+    bb, kb = _pick_blocks(B, KV, S, hd, 4 * S * hd, 4 * S * 4)
 
     def ix(b, h, pos):
         return (b, h, 0, 0)
 
+    def ix3(b, h, pos):
+        return (b, h, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, KV // kb),
+        grid=(B // bb, KV // kb),
         in_specs=[
-            pl.BlockSpec((1, kb, G, hd), ix),
-            pl.BlockSpec((1, kb, 1, hd), ix),
-            pl.BlockSpec((1, kb, 1, hd), ix),
-            pl.BlockSpec((1, kb, S, hd), ix),
-            pl.BlockSpec((1, kb, S, hd), ix),
-            pl.BlockSpec((1, kb, S, 1), ix),
-            pl.BlockSpec((1, kb, S, 1), ix),
+            pl.BlockSpec((bb, kb, G, hd), ix),
+            pl.BlockSpec((bb, kb, 1, hd), ix),
+            pl.BlockSpec((bb, kb, 1, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, S), ix3),
+            pl.BlockSpec((bb, kb, S), ix3),
         ],
         out_specs=[
-            pl.BlockSpec((1, kb, G, hd), ix),
-            pl.BlockSpec((1, kb, S, hd), ix),
-            pl.BlockSpec((1, kb, S, hd), ix),
-            pl.BlockSpec((1, kb, S, 1), ix),
-            pl.BlockSpec((1, kb, S, 1), ix),
+            pl.BlockSpec((bb, kb, G, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, S), ix3),
+            pl.BlockSpec((bb, kb, S), ix3),
         ],
     )
     out, k_o, v_o, ks_o, vs_o = pl.pallas_call(
-        partial(_decode_attn_write_kernel, kb=kb, window=int(window)),
+        partial(_decode_attn_write_kernel, bb=bb, kb=kb, window=int(window)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
             jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
             jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
-            jax.ShapeDtypeStruct((B, KV, S, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, KV, S, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV, S), jnp.float32),
         ],
         # NO input/output aliasing: inside the decode scan the cache tiles
         # arrive as xs slices and leave as ys slots — aliasing across that
@@ -307,15 +337,15 @@ def pallas_decode_attention_write(
         vn,
         k_c,
         v_c,
-        ks_c[..., None],
-        vs_c[..., None],
+        ks_c,
+        vs_c,
     )
     return (
         out.reshape(B, H, hd),
         k_o,
         v_o,
-        ks_o[..., 0],
-        vs_o[..., 0],
+        ks_o,
+        vs_o,
     )
 
 
@@ -333,43 +363,32 @@ def pallas_decode_attention(
     G = H // KV
     q4 = q.reshape(B, KV, G, hd)
 
-    # kv-head block: as many heads per program as keep the K+V block under
-    # ~4 MB of VMEM (pipelinable), rounded down to a divisor of KV
-    kb = max(1, min(KV, (4 * 1024 * 1024) // (2 * S * hd)))
-    while KV % kb:
-        kb -= 1
+    # k+v stream in per head (2·S·hd int8) + scale rows
+    bb, kb = _pick_blocks(B, KV, S, hd, 2 * S * hd, 2 * S * 4)
+
+    def ix(b, h, pos):
+        return (b, h, 0, 0)
+
+    def ix3(b, h, pos):
+        return (b, h, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, KV // kb),
+        grid=(B // bb, KV // kb),
         in_specs=[
-            pl.BlockSpec(
-                (1, kb, G, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, kb, S, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, kb, S, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            # scales as [B, KV, S, 1]: a (1, kb, S) block would put the
-            # kb-wide KV slice in the sublane position, below the tile floor
-            pl.BlockSpec(
-                (1, kb, S, 1), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, kb, S, 1), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((bb, kb, G, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, S, hd), ix),
+            pl.BlockSpec((bb, kb, S), ix3),
+            pl.BlockSpec((bb, kb, S), ix3),
         ],
-        out_specs=pl.BlockSpec(
-            (1, kb, G, hd), lambda b, h, pos: (b, h, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((bb, kb, G, hd), ix),
     )
 
     out = pl.pallas_call(
-        partial(_decode_attn_kernel, kb=kb, window=int(window)),
+        partial(_decode_attn_kernel, bb=bb, kb=kb, window=int(window)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
         interpret=interpret,
-    )(pos.astype(jnp.int32), q4, k_c, v_c, ks_c[..., None], vs_c[..., None])
+    )(pos.astype(jnp.int32), q4, k_c, v_c, ks_c, vs_c)
     return out.reshape(B, H, hd)
