@@ -76,25 +76,27 @@ def _dq_matmul_body(
         if (
             bits == 4
             and split_dots
-            and os.environ.get("QTPU_UNPACK", "i32") == "i8"
+            and os.environ.get("QTPU_UNPACK", "i32") == "bf16"
         ):
-            # int8-NATIVE nibble extraction: no i32 round trip — masks and
-            # the arithmetic shift stay in int8 registers (4× less register
-            # traffic than the i32 chain) and convert straight to bf16 for
-            # the MXU. lo nibble: v & 0x0F ∈ [0, 15] exactly (sign bit
-            # never set); hi nibble: (v >> 4) & 0x0F is sign-correct for
-            # arithmetic shift.
+            # bf16-ARITHMETIC nibble extraction: ONE int8→bf16 convert then
+            # float ops (every integer ≤ 256 is exact in bf16's 8
+            # significand bits) — no i32 round trip (4× register traffic)
+            # and no int8 shifts (Mosaic rejects arith.shrsi on i8).
+            # (and no packed-bf16 compares — Mosaic also rejects
+            # arith.cmpf on 8x128x2xbf16):
+            #   hs = ⌊v/16⌋ ∈ [−8, 7];  lo = v − 16·hs ∈ [0, 15]
+            #   hi = hs − 16·⌊hs/16⌋ ∈ [0, 15]   (mod-16 sign fix)
             h = group // 2
             lo_row = c * h
-            pu = d_ref[lo_row : lo_row + h, :]  # [group/2, bn] int8
-            lo = (pu & jnp.int8(0x0F)).astype(x.dtype)
-            hi = (
-                jax.lax.shift_right_arithmetic(pu, jnp.int8(4))
-                & jnp.int8(0x0F)
-            ).astype(x.dtype)
+            f = d_ref[lo_row : lo_row + h, :].astype(jnp.bfloat16)
+            hs = jnp.floor(f * (1.0 / 16.0))
+            lo = f - 16.0 * hs
+            hi = hs - 16.0 * jnp.floor(hs * (1.0 / 16.0))
             part = jnp.dot(
-                xg[:, :h], lo, preferred_element_type=jnp.float32
-            ) + jnp.dot(xg[:, h:], hi, preferred_element_type=jnp.float32)
+                xg[:, :h], lo.astype(x.dtype), preferred_element_type=jnp.float32
+            ) + jnp.dot(
+                xg[:, h:], hi.astype(x.dtype), preferred_element_type=jnp.float32
+            )
         elif bits in (2, 4) and split_dots and not _F32_UNPACK:
             # Split-dot unpack: one MXU dot per bit-field instead of
             # concatenating unpacked fields into one [group, bn] operand.
