@@ -29,10 +29,17 @@ from qtpu.bench.synth import tiled_packed_llama as _tiled_packed_model  # noqa: 
 
 
 def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large, block=25,
-               arch="llama"):
+               arch="llama", cache_pad=0):
     """Tokens/s through the serving decode path: decode_multi blocks (one
     compiled lax.scan per `block` steps, one host dispatch per block —
-    exactly what the continuous batcher drives)."""
+    exactly what the continuous batcher drives).
+
+    cache_pad > 0 sizes the cache `cache_pad` positions larger and writes
+    the prompt at that offset — decode then attends over the full
+    (cache_pad + P)-token window every step. The skipped positions hold
+    zeros, which costs the attention kernel identical DMA/MXU work to
+    real history (its timing is data-independent), so this measures
+    long-context decode without prefilling `cache_pad` real tokens."""
     import jax
     import jax.numpy as jnp
 
@@ -43,15 +50,18 @@ def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large, block=25,
         np.random.default_rng(1).integers(0, cfg.vocab_size, (B, P)), jnp.int32
     )
     key = jax.random.PRNGKey(0)
+    start = jnp.full((B,), cache_pad, jnp.int32) if cache_pad else None
 
     def run(n_blocks):
         cache = init_cache(
-            cfg, B, P + n_large * block + 8, quantized=True
+            cfg, B, cache_pad + P + n_large * block + 8, quantized=True
         )
         t0 = time.perf_counter()
-        logits, cache = prefill(packed, prompt, cache, cfg, qmeta, arch=arch)
+        logits, cache = prefill(
+            packed, prompt, cache, cfg, qmeta, start=start, arch=arch
+        )
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
-        pos = jnp.full((B,), P, jnp.int32)
+        pos = jnp.full((B,), cache_pad + P, jnp.int32)
         for _ in range(n_blocks):
             toks, cache = decode_multi(
                 packed, tok, pos, cache, None, key, cfg, block, qmeta,
@@ -122,6 +132,24 @@ def main():
     packed, qmeta = _tiled_packed_model(cfg, 4, 128)
     out["tinyllama_w4_prefill_tokens_per_s_s2048"] = round(
         prefill_tps(packed, qmeta, cfg, B=2, S=2048), 1
+    )
+    flush()
+    # long-context prefill: the flash-v2 kernel holds one KV head's full
+    # [S, hd] bf16 tile in VMEM (1 MB at S=8192) — no K-block pipelining
+    # needed at these lengths
+    out["tinyllama_w4_prefill_tokens_per_s_s8192"] = round(
+        prefill_tps(packed, qmeta, cfg, B=1, S=8192, iters=3), 1
+    )
+    flush()
+    # long-cache decode: attention reads the whole 16k-token int8 cache
+    # every step (per kv head: 2·S·hd ≈ 2 MB int8 k+v) — the regime where
+    # the KV stream rivals the weight stream
+    out["tinyllama_w4_decode_tokens_per_s_s16k_cache"] = round(
+        decode_tps(
+            packed, qmeta, cfg, B=4, P=128, cache_pad=16384 - 384,
+            n_small=1, n_large=5,
+        ),
+        1,
     )
     flush()
     # large-batch decode: weight streaming amortizes over the batch — the

@@ -13,7 +13,7 @@ sends every q head of a group to its shared KV head — with the q-block
 grid axis innermost, consecutive programs of one group hit the same K/V
 block index and Pallas skips the re-DMA, so KV HBM traffic is S·hd per KV
 head, not per q head (the round-1 version jnp.repeat-ed K/V to H heads in
-HBM first — H/KV× the traffic and memory; VERDICT r1 weak #5).
+HBM first — H/KV× the traffic and memory).
 
 Sliding-window (Mistral) masking runs in-kernel: key blocks entirely
 outside the band are skipped by starting the key loop at the band's first

@@ -4,7 +4,7 @@ One pallas_call computes EVERY expert's fused dequant-matmul for a site:
 grid (E, M/bm, N/bn), each step streaming expert e's packed block from HBM
 exactly once. Replaces the per-expert Python loop over `linear` calls in
 qtpu.models.moe._expert_matmul (E separate pallas_calls per site per layer
-— VERDICT r1 weak #3): same HBM traffic, one launch, and XLA sees a single
+): same HBM traffic, one launch, and XLA sees a single
 fusable op per site.
 
 Dispatch forms:

@@ -684,7 +684,7 @@ def pack_model(
 
 def fold_smooth(packed: dict, qmeta, arch: str = "llama"):
     """Fold per-site input "smooth" vectors into adjacent parameters so
-    decode pays no extra elementwise pass per site (VERDICT r1 weak #7).
+    decode pays no extra elementwise pass per site.
 
     Llama-family folds (all exact in f32; bf16 re-rounding of the folded
     parameter is the same order as the runtime bf16 multiply it replaces):
@@ -701,19 +701,22 @@ def fold_smooth(packed: dict, qmeta, arch: str = "llama"):
     Other arches (GPT-2 GELU boundary, OPT) keep runtime smooth vectors.
     Returns (packed, qmeta) (qmeta is unchanged; returned for symmetry).
     """
-    import numpy as np
-
     if arch != "llama":
         return packed, qmeta
     layers = dict(packed["layers"])
     out = dict(packed)
 
     def _identical(names):
+        # equality check runs on device; only ONE boolean scalar is read
+        # back per group (pack time is eager, so a host decision is
+        # unavoidable — but shipping whole vectors through the slow
+        # host link is not)
         vs = [layers.get(n, {}).get("smooth") for n in names if n in layers]
         if not vs or any(v is None for v in vs):
             return None
-        v0 = np.asarray(vs[0])
-        if all(np.array_equal(np.asarray(v), v0) for v in vs[1:]):
+        if len(vs) == 1 or bool(
+            jnp.all(jnp.stack([jnp.all(v == vs[0]) for v in vs[1:]]))
+        ):
             return vs[0]
         return None
 
@@ -778,8 +781,6 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
     sites fuse only when their level tables are bit-identical (true for
     POT/APOT, whose codebook depends only on the method config).
     Returns (fused_params, fused_qmeta)."""
-    import numpy as np
-
     layers = dict(packed["layers"])
     # structural guards (not just the arch arg, which callers forget):
     # llama has o_proj + gate_proj alongside q/k/v; OPT has out_proj
@@ -798,14 +799,17 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
 
     def _shared_key_equal(parts, key):
         """Keys applied to the shared INPUT (smooth, perm) may only fuse
-        when identical across the group — then one copy is kept."""
+        when identical across the group — then one copy is kept. On-device
+        compare, one scalar readback (not an array transfer per site)."""
         present = [key in p for p in parts]
         if not any(present):
             return True
         if not all(present):
             return False
-        s0 = np.asarray(parts[0][key])
-        return all(np.array_equal(np.asarray(p[key]), s0) for p in parts[1:])
+        s0 = parts[0][key]
+        return bool(
+            jnp.all(jnp.stack([jnp.all(p[key] == s0) for p in parts[1:]]))
+        )
 
     def fusable(names):
         parts = [layers.get(n) for n in names]

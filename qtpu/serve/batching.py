@@ -25,7 +25,7 @@ Three scheduler-level latencies are engineered away:
     through jitted gather/scatter helpers (donated, so XLA updates the
     big cache buffers in place) instead of per-leaf host-driven
     full-cache `.at[].set` copies — admission cost no longer scales with
-    max_batch (VERDICT r2 weak #5).
+    max_batch.
 
 Invariants per active slot i with request r:
   r.output      — tokens emitted so far (first one sampled from prefill

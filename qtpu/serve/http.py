@@ -10,7 +10,7 @@ Request threads hand work over through a small inbox guarded by `_lock`,
 and `/health` reads a metrics snapshot the engine refreshes after every
 step — neither ever waits for a device step to finish (a decode block is
 tens of ms; holding a lock across it would stall health checks and
-submissions, VERDICT r1 weak #6).
+submissions).
 
 API:
   POST /generate  {"prompt_ids": [..], "max_new_tokens": N,
