@@ -59,7 +59,19 @@ def _dq_matmul_kernel(x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K):
 def _dq_matmul_body(
     x_ref, d_ref, s_ref, z_ref, o_ref, *, bits, group, K, split_dots
 ):
+    o_ref[:] = _dq_matmul_acc(
+        x_ref[:], d_ref, s_ref, z_ref,
+        bits=bits, group=group, K=K, split_dots=split_dots,
+    ).astype(o_ref.dtype)
+
+
+def _dq_matmul_acc(
+    x, d_ref, s_ref, z_ref, *, bits, group, K, split_dots
+):
     """Per (i, j) program: y = Σ_groups s∘(x_g @ q_g) − s∘z∘Σ(x_g).
+    x is an in-register [bm, K] value; d/s/z are (blocked) refs whose row 0
+    is the start of this K range. Returns the [bm, bn] f32 accumulator (the
+    composable core shared by the plain kernels and the fused-MLP kernel).
 
     The scale/zero corrections act on the [bm, bn] OUTPUT tile instead of
     the [group, bn] weight tile: the MXU consumes raw integer codes
@@ -67,7 +79,6 @@ def _dq_matmul_body(
     on the big tile — measured ~30% faster than dequant-then-matmul at
     decode shapes, and slightly more accurate (corrections in f32 instead
     of bf16-rounded dequantized weights)."""
-    x = x_ref[:]  # [bm, K] bf16
     n_groups = K // group
     acc = None
     for c in range(n_groups):  # static unroll; all indices static
@@ -165,7 +176,7 @@ def _dq_matmul_body(
         sum_x = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
         part = part * s - (sum_x * z) * s
         acc = part if acc is None else acc + part
-    o_ref[:] = acc.astype(o_ref.dtype)
+    return acc
 
 
 def _choose_blocks(M, K, N):

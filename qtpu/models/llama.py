@@ -326,6 +326,54 @@ def _write_and_attend(q, k, v, layer_kv, start, mask, cfg: ModelConfig):
     return attn, layer_kv
 
 
+def _mlp_block(x, layers, l, mlp_norm, cfg: ModelConfig, qm):
+    """norm → SwiGLU MLP → residual. Decode on TPU with a packed fused
+    gateup+down pair dispatches to the single-launch Pallas MLP kernel
+    (norm, both dequant-matmuls, silu·mul and the residual in ONE program
+    streaming every MLP weight byte exactly once — see
+    kernels/pallas_fused_mlp.py); every other shape/packing runs the
+    composed ops below."""
+    import os
+
+    mgu, md = qm("gateup_proj"), qm("down_proj")
+    gu = layers.get("gateup_proj") if isinstance(layers, dict) else None
+    dn = layers.get("down_proj") if isinstance(layers, dict) else None
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("QTPU_NO_FUSED_MLP") != "1"
+        and mgu is not None and md is not None
+        and len(mgu) == 4 and len(md) == 4
+        and isinstance(gu, dict) and isinstance(dn, dict)
+        and set(gu.keys()) == {"data", "scales", "zeros"}
+        and set(dn.keys()) == {"data", "scales", "zeros"}
+    ):
+        try:
+            from qtpu.kernels.pallas_fused_mlp import (
+                pallas_fused_mlp,
+                pallas_fused_mlp_stacked,
+            )
+
+            if l is None:
+                return pallas_fused_mlp(
+                    x, mlp_norm,
+                    gu["data"], gu["scales"], gu["zeros"],
+                    dn["data"], dn["scales"], dn["zeros"],
+                    mgu, md, eps=cfg.norm_eps,
+                )
+            return pallas_fused_mlp_stacked(
+                x, layers["mlp_norm"],
+                gu["data"], gu["scales"], gu["zeros"],
+                dn["data"], dn["scales"], dn["zeros"],
+                mgu, md, l, eps=cfg.norm_eps,
+            )
+        except NotImplementedError:
+            pass
+    h = rms_norm(x, mlp_norm, cfg.norm_eps)
+    gate, up = _gate_up(h, layers, cfg, qm, layer=l)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return x + linear(act, layers["down_proj"], qm("down_proj"), layer=l)
+
+
 def _layer_fwd_cached(
     x, layers, l, norms, layer_kv, start, rope, mask, cfg: ModelConfig, qmeta
 ):
@@ -353,11 +401,7 @@ def _layer_fwd_cached(
     k = apply_rope(k, cos, sin)
     attn, layer_kv = _write_and_attend(q, k, v, layer_kv, start, mask, cfg)
     x = x + linear(attn, layers["o_proj"], qm("o_proj"), layer=l)
-
-    h = rms_norm(x, mlp_norm, cfg.norm_eps)
-    gate, up = _gate_up(h, layers, cfg, qm, layer=l)
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    x = x + linear(act, layers["down_proj"], qm("down_proj"), layer=l)
+    x = _mlp_block(x, layers, l, mlp_norm, cfg, qm)
     return x, layer_kv
 
 

@@ -372,3 +372,95 @@ def test_pallas_decode_attention_write_bf16(window):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(want), rtol=3e-2, atol=3e-2
     )
+
+
+@pytest.mark.parametrize("norm,residual", [(True, True), (False, False)])
+def test_pallas_fused_mlp_matches_composed(norm, residual):
+    """The single-launch MLP megakernel == norm→gate/up→silu·mul→down
+    (+residual) composed from the reference ops."""
+    from qtpu.kernels.pallas_fused_mlp import pallas_fused_mlp
+    from qtpu.models.ops import linear, rms_norm
+
+    Kd, F, g = 256, 512, 128
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    wg = jax.random.normal(ks[0], (Kd, F), jnp.float32) * 0.05
+    wu = jax.random.normal(ks[1], (Kd, F), jnp.float32) * 0.05
+    wd = jax.random.normal(ks[2], (F, Kd), jnp.float32) * 0.05
+    x = (jax.random.normal(ks[3], (8, 1, Kd), jnp.float32) * 0.5).astype(
+        jnp.bfloat16
+    )
+    nw = jnp.ones((Kd,), jnp.bfloat16) * 1.1
+    qg = quantize_pack(jnp.concatenate([wg, wu], 1).astype(jnp.bfloat16), 4, g)
+    qd = quantize_pack(wd.astype(jnp.bfloat16), 4, g)
+    meta_gu, meta_d = (4, g, Kd, 2 * F), (4, g, F, Kd)
+
+    h = rms_norm(x, nw, 1e-5) if norm else x
+    gu = linear(h, {"data": qg.data, "scales": qg.scales, "zeros": qg.zeros}, meta_gu)
+    gate, up = jnp.split(gu, [F], -1)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    down = linear(act, {"data": qd.data, "scales": qd.scales, "zeros": qd.zeros}, meta_d)
+    ref = x + down if residual else down
+
+    out = pallas_fused_mlp(
+        x, nw if norm else None, qg.data, qg.scales, qg.zeros,
+        qd.data, qd.scales, qd.zeros, meta_gu, meta_d,
+        eps=1e-5, norm=norm, residual=residual, interpret=True,
+    )
+    _assert_close(out, ref)
+
+
+def test_pallas_fused_mlp_stacked_matches_immediate():
+    from qtpu.kernels.pallas_fused_mlp import (
+        pallas_fused_mlp,
+        pallas_fused_mlp_stacked,
+    )
+
+    Kd, F, L, g = 256, 512, 3, 128
+    ks = jax.random.split(jax.random.PRNGKey(4), 2 * L + 1)
+    gu_q, d_q = [], []
+    for l in range(L):
+        wgu = jax.random.normal(ks[2 * l], (Kd, 2 * F), jnp.bfloat16) * 0.05
+        wd = jax.random.normal(ks[2 * l + 1], (F, Kd), jnp.bfloat16) * 0.05
+        gu_q.append(quantize_pack(wgu, 4, g))
+        d_q.append(quantize_pack(wd, 4, g))
+    stk = lambda qs, f: jnp.stack([getattr(q, f) for q in qs])
+    x = jax.random.normal(ks[-1], (8, Kd), jnp.bfloat16) * 0.5
+    nw = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(5), (L, Kd), jnp.bfloat16)
+    meta_gu, meta_d = (4, g, Kd, 2 * F), (4, g, F, Kd)
+    for l in range(L):
+        ref = pallas_fused_mlp(
+            x, nw[l], gu_q[l].data, gu_q[l].scales, gu_q[l].zeros,
+            d_q[l].data, d_q[l].scales, d_q[l].zeros, meta_gu, meta_d,
+            interpret=True,
+        )
+        out = pallas_fused_mlp_stacked(
+            x, nw, stk(gu_q, "data"), stk(gu_q, "scales"), stk(gu_q, "zeros"),
+            stk(d_q, "data"), stk(d_q, "scales"), stk(d_q, "zeros"),
+            meta_gu, meta_d, jnp.int32(l), interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32)
+        )
+
+
+def test_fused_mlp_dispatch_fallback_shapes():
+    """Shapes the megakernel rejects (prefill M, odd groups) raise
+    NotImplementedError so the model path composes the plain ops."""
+    from qtpu.kernels.pallas_fused_mlp import pallas_fused_mlp
+
+    Kd, F, g = 256, 512, 128
+    qg = quantize_pack(jnp.zeros((Kd, 2 * F), jnp.bfloat16), 4, g)
+    qd = quantize_pack(jnp.zeros((F, Kd), jnp.bfloat16), 4, g)
+    x_big = jnp.zeros((8, 128, Kd), jnp.bfloat16)  # prefill-sized M
+    with pytest.raises(NotImplementedError):
+        pallas_fused_mlp(
+            x_big, None, qg.data, qg.scales, qg.zeros,
+            qd.data, qd.scales, qd.zeros,
+            (4, g, Kd, 2 * F), (4, g, F, Kd), interpret=True,
+        )
+    with pytest.raises(NotImplementedError):  # metas that do not chain
+        pallas_fused_mlp(
+            jnp.zeros((8, Kd), jnp.bfloat16), None,
+            qg.data, qg.scales, qg.zeros, qd.data, qd.scales, qd.zeros,
+            (4, g, Kd, 2 * F), (4, g, F, Kd + 128), interpret=True,
+        )

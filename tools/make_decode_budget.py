@@ -282,16 +282,19 @@ def main():
 
     for B in (8, 32):
         row = {}
-        row["full_step_packed_ms"] = round(bench_full_step(packed, qmeta, B), 3)
-        row["matmuls_packed_staged_ms"] = round(
-            bench_matmuls(packed["layers"], qmeta_d, B, "staged"), 3
-        )
-        row["matmuls_packed_stacked_ms"] = round(
-            bench_matmuls(packed["layers"], qmeta_d, B, "stacked"), 3
-        )
-        row["attn_cache_ms"] = round(bench_attn_cache(B), 3)
-        row["lm_head_packed_ms"] = round(bench_lm_head(packed, qmeta_d, B), 3)
-        row["glue_ms"] = round(bench_glue(packed, B), 3)
+
+        def put(key, val):
+            row[key] = round(val, 3)
+            print(json.dumps({f"B{B}.{key}": row[key]}), flush=True)
+
+        put("full_step_packed_ms", bench_full_step(packed, qmeta, B))
+        put("matmuls_packed_staged_ms",
+            bench_matmuls(packed["layers"], qmeta_d, B, "staged"))
+        put("matmuls_packed_stacked_ms",
+            bench_matmuls(packed["layers"], qmeta_d, B, "stacked"))
+        put("attn_cache_ms", bench_attn_cache(B))
+        put("lm_head_packed_ms", bench_lm_head(packed, qmeta_d, B))
+        put("glue_ms", bench_glue(packed, B))
         acc = (
             row["matmuls_packed_staged_ms"]
             + row["attn_cache_ms"]
