@@ -29,7 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 def _pick_blocks(B, KV, S, hd, bytes_per_head, scale_bytes_per_head=0):
     """(bb, kb): sequences × kv-heads per program, sized for the 16 MB
     VMEM (≤ ~7 MB of cache blocks per program → room for double
-    buffering). Both divide their axis."""
+    buffering). Both divide their axis. The (bb, kb) body is a static
+    unroll, so beyond VMEM there is an instruction-stream cost per body —
+    QTPU_ATTN_BB / QTPU_ATTN_KB override for measurement."""
+    import os
+
     budget = 7 * 1024 * 1024
     per_head = bytes_per_head + scale_bytes_per_head
     kb = max(1, min(KV, budget // max(per_head, 1)))
@@ -38,6 +42,12 @@ def _pick_blocks(B, KV, S, hd, bytes_per_head, scale_bytes_per_head=0):
     bb = max(1, min(B, budget // max(kb * per_head, 1)))
     while B % bb:
         bb -= 1
+    env_bb = os.environ.get("QTPU_ATTN_BB")
+    env_kb = os.environ.get("QTPU_ATTN_KB")
+    if env_bb and B % int(env_bb) == 0:
+        bb = int(env_bb)
+    if env_kb and KV % int(env_kb) == 0:
+        kb = int(env_kb)
     return bb, kb
 
 

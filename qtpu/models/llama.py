@@ -179,24 +179,26 @@ def _collect(x, capture: str):
 def _delivery_mode(layers, L: int, T: int = 1) -> str:
     """Weight-delivery policy (see _layer_fwd_cached / forward_with_cache).
 
-    Measured full-model decode on v5e (TinyLlama W4, scanned 50-step
-    blocks, ms/step): xs staging 2.79, scalar-prefetch stacked 3.67 —
-    staging prefetches the NEXT layer's weights during this layer's
-    attention/cache work, which on-demand scalar-prefetch DMA cannot
-    overlap (even though the stacked matmuls ALONE are faster, 1.20 vs
-    1.76: the gap is the staging copy, but it buys overlap that matters
-    more in the full step). "unrolled" trades one lax.scan for L inlined
-    layer bodies whose weight slices are STATIC — kernels read HBM
-    directly with no staging copy and no scalar-prefetch indirection.
+    "staged": per-layer weight slices as scan xs (XLA stages a copy one
+    iteration ahead). "stacked": scalar-prefetch kernels read the [L, ...]
+    arrays in place, zero copies. "unrolled": L inlined layer bodies with
+    static slices.
 
     Returns "unrolled" | "staged" | "stacked". Full-model decode measured
-    (TinyLlama W4, scanned 50-step blocks, ms/step): staged 2.79,
-    unrolled 3.49, stacked 3.67 — even though the stacked matmuls ALONE
-    beat staged (1.20 vs 1.76 ms), both direct-HBM modes serialize
-    against the cache/attention work where the staging copy pipelines, so
-    staged stays the default for models whose per-layer weights fit VMEM
-    double-buffering. QTPU_DECODE_DELIVERY overrides (one of the three
-    strings; or the legacy QTPU_STACKED_WEIGHTS 1/0 for stacked/staged)."""
+    on v5e (TinyLlama W4, scanned 50-step blocks, ms/step,
+    tools/exp_stepmatrix.py + results/decode_budget.json):
+
+      packed sites: stacked 2.12 (with the fused-MLP megakernel; 2.24
+      without) < staged 2.29 < per-layer-unrolled 2.57. The xs staging
+      copy costs ~0.53 ms/step and the step is fully serial (no overlap
+      benefit to hide it), so zero-copy scalar-prefetch kernels win —
+      packed decode defaults to STACKED.
+      dense bf16: the stacked body would dynamic-slice [L, K, N] bf16
+      leaves (a real copy per layer, no scalar-prefetch kernel to read
+      them in place), so dense keeps STAGED.
+
+    QTPU_DECODE_DELIVERY overrides (one of the three strings; or the
+    legacy QTPU_STACKED_WEIGHTS 1/0 for stacked/staged)."""
     import os
 
     env = os.environ.get("QTPU_DECODE_DELIVERY")
@@ -205,6 +207,11 @@ def _delivery_mode(layers, L: int, T: int = 1) -> str:
     env = os.environ.get("QTPU_STACKED_WEIGHTS")
     if env is not None:
         return "stacked" if env == "1" else "staged"
+    packed = any(
+        isinstance(site, dict) and "data" in site for site in layers.values()
+    )
+    if packed:
+        return "stacked"
     per_layer = sum(
         a.nbytes
         for site in layers.values()
@@ -392,7 +399,6 @@ def _layer_fwd_cached(
     start: [B] write offsets. Returns (x_out, updated layer_kv)."""
     attn_norm, mlp_norm = norms
     cos, sin = rope
-    B, T, D = x.shape
     qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
 
     h = rms_norm(x, attn_norm, cfg.norm_eps)

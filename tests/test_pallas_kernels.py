@@ -464,3 +464,4 @@ def test_fused_mlp_dispatch_fallback_shapes():
             qg.data, qg.scales, qg.zeros, qd.data, qd.scales, qd.zeros,
             (4, g, Kd, 2 * F), (4, g, F, Kd + 128), interpret=True,
         )
+
