@@ -66,13 +66,18 @@ def quantized_matmul(x, data, scales, zeros, meta):
     return _quantized_matmul_ref(x, data, scales, zeros, meta)
 
 
-def quantized_matmul_stacked(x, data, scales, zeros, meta, layer):
-    """y = x @ dequant(data[layer]) with STACKED per-layer weights
-    [L, ...] and a traced layer index — on TPU the Pallas kernel indexes
-    the stacked arrays via scalar prefetch so a `lax.scan` over layers
-    never materializes per-layer weight copies (the xs-slicing such a scan
-    would otherwise do costs more HBM traffic than the matmul itself at
-    decode shapes). Fallback: dynamic-slice the layer, reference path."""
+def quantized_matmul_stacked(
+    x, data, scales, zeros, meta, layer, norm_w=None, resid=None, eps=1e-5
+):
+    """y = [resid +] [rms_norm·norm_w[layer] ∘] x @ dequant(data[layer])
+    with STACKED per-layer weights [L, ...] and a traced layer index — on
+    TPU the Pallas kernel indexes the stacked arrays via scalar prefetch
+    so a `lax.scan` over layers never materializes per-layer weight copies
+    (the xs-slicing such a scan would otherwise do costs more HBM traffic
+    than the matmul itself at decode shapes). The optional norm/residual
+    fusions fold the surrounding elementwise kernels of a decoder layer
+    into the same launch. Fallback: dynamic-slice the layer, reference
+    path with the same norm/residual composition."""
     if jax.default_backend() == "tpu":
         try:
             from qtpu.kernels.pallas_dequant_matmul import (
@@ -80,13 +85,20 @@ def quantized_matmul_stacked(x, data, scales, zeros, meta, layer):
             )
 
             return pallas_quantized_matmul_stacked(
-                x, data, scales, zeros, meta, layer
+                x, data, scales, zeros, meta, layer,
+                norm_w=norm_w, resid=resid, eps=float(eps),
             )
         except NotImplementedError:
             pass
-    return _quantized_matmul_ref(
+    if norm_w is not None:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + float(eps))
+        x = (xf * norm_w[layer].astype(jnp.float32)).astype(x.dtype)
+    y = _quantized_matmul_ref(
         x, data[layer], scales[layer], None if zeros is None else zeros[layer], meta
     )
+    return y if resid is None else resid + y
 
 
 def codebook_matmul(x, data, scales, codebook, meta):

@@ -290,8 +290,11 @@ def pallas_codebook_matmul(x, data, scales, codebook, meta, interpret=False):
     return out.reshape(orig_shape[:-1] + (N,))
 
 
-@partial(jax.jit, static_argnames=("meta", "interpret"))
-def pallas_quantized_matmul_stacked(x, data, scales, zeros, meta, layer, interpret=False):
+@partial(jax.jit, static_argnames=("meta", "eps", "interpret"))
+def pallas_quantized_matmul_stacked(
+    x, data, scales, zeros, meta, layer,
+    norm_w=None, resid=None, eps: float = 1e-5, interpret=False,
+):
     """y = x @ dequant(data[layer]) reading blocks straight from the
     STACKED [L, ...] arrays via scalar-prefetch indexing.
 
@@ -304,7 +307,14 @@ def pallas_quantized_matmul_stacked(x, data, scales, zeros, meta, layer, interpr
     index_map addresses dimension 0 of the stacked array directly, so the
     kernel DMAs exactly the blocks it needs from HBM and nothing is
     copied. x: [..., K]; data [L, Kp, N]; scales/zeros [L, K/g, N];
-    layer: traced int32 scalar."""
+    layer: traced int32 scalar.
+
+    Optional decode-path fusions (each removes an XLA kernel + its HBM
+    round trip of the [M, K]/[M, N] activation between launches):
+      norm_w [L, K]: rms_norm(x)·norm_w[layer] applied to the x block
+        in-kernel before the dot (computed per program — at decode bm the
+        redundant [bm, K] norm is trivia next to the weight stream).
+      resid [..., N]: added to the output tile (y = resid + x@W)."""
     bits, group, K, N = meta
     if group <= 0 or group % 4 != 0 or K % group != 0:
         raise NotImplementedError("pallas path needs group % 4 == 0 | K")
@@ -334,16 +344,43 @@ def pallas_quantized_matmul_stacked(x, data, scales, zeros, meta, layer, interpr
     if has_zeros:
         in_specs.append(pl.BlockSpec((None, G, bn), lambda i, j, l: (l[0], 0, j)))
         args.append(zeros)
+    has_norm = norm_w is not None
+    if has_norm:
+        L = data.shape[0]
+        in_specs.append(
+            pl.BlockSpec((None, 1, K), lambda i, j, l: (l[0], 0, 0))
+        )
+        args.append(norm_w.reshape(L, 1, K))
+    has_resid = resid is not None
+    if has_resid:
+        r2 = resid.reshape(M, N)
+        if pad_m:
+            r2 = jnp.pad(r2, ((0, pad_m), (0, 0)))
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)))
+        args.append(r2)
 
     def kernel(l_ref, *refs):
-        if has_zeros:
-            x_ref, d_ref, s_ref, z_ref, o_ref = refs
-        else:
-            x_ref, d_ref, s_ref, o_ref = refs
-            z_ref = None
-        _dq_matmul_kernel(
-            x_ref, d_ref, s_ref, z_ref, o_ref, bits=bits, group=group, K=K
+        refs = list(refs)
+        o_ref = refs.pop()
+        r_ref = refs.pop() if has_resid else None
+        nw_ref = refs.pop() if has_norm else None
+        z_ref = refs.pop() if has_zeros else None
+        x_ref, d_ref, s_ref = refs
+        x = x_ref[:]
+        if nw_ref is not None:
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            xf = xf * jax.lax.rsqrt(var + eps)
+            x = (xf * nw_ref[0, :][None, :].astype(jnp.float32)).astype(
+                x.dtype
+            )
+        acc = _dq_matmul_acc(
+            x, d_ref, s_ref, z_ref, bits=bits, group=group, K=K,
+            split_dots=x.shape[0] <= 32,
         )
+        if r_ref is not None:
+            acc = acc + r_ref[:].astype(jnp.float32)
+        o_ref[:] = acc.astype(o_ref.dtype)
 
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
     out = pl.pallas_call(

@@ -401,14 +401,97 @@ def _layer_fwd_cached(
     cos, sin = rope
     qm = (lambda s: None) if qmeta is None else (lambda s: qmeta.get(s))
 
-    h = rms_norm(x, attn_norm, cfg.norm_eps)
-    q, k, v = _qkv(h, layers, cfg, qm, layer=l)
+    qkv3 = _fused_norm_qkv(x, layers, l, cfg, qm)
+    if qkv3 is None:
+        h = rms_norm(x, attn_norm, cfg.norm_eps)
+        q, k, v = _qkv(h, layers, cfg, qm, layer=l)
+    else:
+        q, k, v = qkv3
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn, layer_kv = _write_and_attend(q, k, v, layer_kv, start, mask, cfg)
-    x = x + linear(attn, layers["o_proj"], qm("o_proj"), layer=l)
+    x = _o_proj_resid(attn, x, layers, l, qm)
     x = _mlp_block(x, layers, l, mlp_norm, cfg, qm)
     return x, layer_kv
+
+
+def _plain_packed(site) -> bool:
+    return isinstance(site, dict) and set(site.keys()) == {
+        "data",
+        "scales",
+        "zeros",
+    }
+
+
+def _fused_norm_qkv(x, layers, l, cfg: ModelConfig, qm):
+    """Stacked-delivery decode: fold the attention rms_norm into the qkv
+    dequant-matmul launch (one kernel instead of norm + matmul, and no
+    [B, K] normalized-activation round trip through HBM). Returns
+    (q, k, v) reshaped to heads, or None when the fusion does not apply
+    (staged delivery, unpacked/smoothed/biased sites, non-TPU).
+
+    OFF by default (QTPU_FUSE_NORM_RESID=1 enables): measured full-step
+    2.241 ms/step with both norm+residual fusions vs 2.116 without on v5e
+    (TinyLlama W4 B=8, stacked delivery) — within run variance but not a
+    win; the XLA elementwise kernels these remove were already cheap."""
+    import os
+
+    site = layers.get("qkv_proj") if isinstance(layers, dict) else None
+    mq = qm("qkv_proj")
+    if (
+        l is None
+        or mq is None
+        or len(mq) != 4
+        or not _plain_packed(site)
+        or jax.default_backend() != "tpu"
+        or os.environ.get("QTPU_FUSE_NORM_RESID") != "1"
+    ):
+        return None
+    try:
+        from qtpu.kernels.dequant_matmul import quantized_matmul_stacked
+
+        qkv = quantized_matmul_stacked(
+            x, site["data"], site["scales"], site["zeros"], mq, l,
+            norm_w=layers["attn_norm"], eps=cfg.norm_eps,
+        )
+    except NotImplementedError:
+        return None
+    B, T = x.shape[:2]
+    Q, KV = cfg.q_dim, cfg.kv_dim
+    q, k, v = jnp.split(qkv, [Q, Q + KV], axis=-1)
+    return (
+        q.reshape(B, T, cfg.num_heads, cfg.head_dim),
+        k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim),
+        v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim),
+    )
+
+
+def _o_proj_resid(attn, x, layers, l, qm):
+    """x + attn @ W_o, with the residual folded into the o-projection
+    kernel under stacked delivery (same launch-count logic as
+    _fused_norm_qkv)."""
+    import os
+
+    site = layers.get("o_proj") if isinstance(layers, dict) else None
+    mo = qm("o_proj")
+    if (
+        l is not None
+        and mo is not None
+        and len(mo) == 4
+        and _plain_packed(site)
+        and jax.default_backend() == "tpu"
+        and os.environ.get("QTPU_FUSE_NORM_RESID") == "1"
+    ):
+        try:
+            from qtpu.kernels.dequant_matmul import quantized_matmul_stacked
+
+            return quantized_matmul_stacked(
+                attn, site["data"], site["scales"], site["zeros"], mo, l,
+                resid=x,
+            )
+        except NotImplementedError:
+            pass
+    return x + linear(attn, layers["o_proj"], qm("o_proj"), layer=l)
 
 
 @partial(jax.jit, static_argnames=("cfg", "qmeta"))

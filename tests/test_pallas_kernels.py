@@ -465,3 +465,35 @@ def test_fused_mlp_dispatch_fallback_shapes():
             (4, g, Kd, 2 * F), (4, g, F, Kd + 128), interpret=True,
         )
 
+
+def test_pallas_stacked_norm_resid_fusion():
+    """Optional in-kernel rms_norm prologue / residual epilogue on the
+    stacked kernel == composed rms_norm + matmul + add."""
+    import jax
+
+    from qtpu.kernels.pallas_dequant_matmul import (
+        pallas_quantized_matmul_stacked,
+    )
+    from qtpu.models.ops import rms_norm
+
+    L, M, Kd, Nd, g = 3, 8, 256, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    x = jax.random.normal(ks[0], (M, Kd), jnp.bfloat16)
+    data = jax.random.randint(ks[1], (L, Kd // 2, Nd), -128, 128, jnp.int8)
+    scales = (jax.random.uniform(ks[2], (L, Kd // g, Nd)) * 0.01 + 1e-3).astype(
+        jnp.bfloat16
+    )
+    zeros = jax.random.randint(ks[3], (L, Kd // g, Nd), 0, 16, jnp.uint8)
+    nw = 1.0 + 0.1 * jax.random.normal(ks[4], (L, Kd), jnp.bfloat16)
+    resid = jax.random.normal(jax.random.PRNGKey(9), (M, Nd), jnp.bfloat16)
+    meta = (4, g, Kd, Nd)
+    for l in range(L):
+        h = rms_norm(x, nw[l], 1e-5)
+        base = pallas_quantized_matmul_stacked(
+            h, data, scales, zeros, meta, jnp.int32(l), interpret=True
+        )
+        fused = pallas_quantized_matmul_stacked(
+            x, data, scales, zeros, meta, jnp.int32(l),
+            norm_w=nw, resid=resid, eps=1e-5, interpret=True,
+        )
+        _assert_close(fused, resid.astype(jnp.float32) + base.astype(jnp.float32))
