@@ -114,50 +114,66 @@ def main():
 
     out = {}
     Path("results").mkdir(exist_ok=True)
+    # resume: keep metrics already measured in a previous (partial) run —
+    # compiles dominate wall time here, and the driver may cut a run short
+    if Path("results/perf_tpu.json").exists():
+        with open("results/perf_tpu.json") as f:
+            out.update(json.load(f))
 
     def flush():
         with open("results/perf_tpu.json", "w") as f:
             json.dump(out, f, indent=2)
         print(json.dumps(out), flush=True)
 
-    cfg7 = LLAMA2_7B
-    packed7, qmeta7 = _tiled_packed_model(cfg7, 4, 128)
-    out["llama2_7b_w4_decode_tokens_per_s"] = round(
-        decode_tps(packed7, qmeta7, cfg7, B=8, P=128, n_small=1, n_large=5), 1
-    )
-    flush()
-    del packed7
+    def have(key):
+        if key in out:
+            print(json.dumps({key: out[key], "cached": True}), flush=True)
+            return True
+        return False
+
+    if not have("llama2_7b_w4_decode_tokens_per_s"):
+        cfg7 = LLAMA2_7B
+        packed7, qmeta7 = _tiled_packed_model(cfg7, 4, 128)
+        out["llama2_7b_w4_decode_tokens_per_s"] = round(
+            decode_tps(packed7, qmeta7, cfg7, B=8, P=128, n_small=1, n_large=5), 1
+        )
+        flush()
+        del packed7
 
     cfg = TINYLLAMA_1_1B
     packed, qmeta = _tiled_packed_model(cfg, 4, 128)
-    out["tinyllama_w4_prefill_tokens_per_s_s2048"] = round(
-        prefill_tps(packed, qmeta, cfg, B=2, S=2048), 1
-    )
-    flush()
+    if not have("tinyllama_w4_prefill_tokens_per_s_s2048"):
+        out["tinyllama_w4_prefill_tokens_per_s_s2048"] = round(
+            prefill_tps(packed, qmeta, cfg, B=2, S=2048), 1
+        )
+        flush()
     # long-context prefill: the flash-v2 kernel holds one KV head's full
     # [S, hd] bf16 tile in VMEM (1 MB at S=8192) — no K-block pipelining
     # needed at these lengths
-    out["tinyllama_w4_prefill_tokens_per_s_s8192"] = round(
-        prefill_tps(packed, qmeta, cfg, B=1, S=8192, iters=3), 1
-    )
-    flush()
+    if not have("tinyllama_w4_prefill_tokens_per_s_s8192"):
+        out["tinyllama_w4_prefill_tokens_per_s_s8192"] = round(
+            prefill_tps(packed, qmeta, cfg, B=1, S=8192, iters=3), 1
+        )
+        flush()
     # long-cache decode: attention reads the whole 16k-token int8 cache
     # every step (per kv head: 2·S·hd ≈ 2 MB int8 k+v) — the regime where
     # the KV stream rivals the weight stream
-    out["tinyllama_w4_decode_tokens_per_s_s16k_cache"] = round(
-        decode_tps(
-            packed, qmeta, cfg, B=4, P=128, cache_pad=16384 - 384,
-            n_small=1, n_large=5,
-        ),
-        1,
-    )
-    flush()
+    if not have("tinyllama_w4_decode_tokens_per_s_s16k_cache"):
+        out["tinyllama_w4_decode_tokens_per_s_s16k_cache"] = round(
+            decode_tps(
+                packed, qmeta, cfg, B=4, P=128, cache_pad=16384 - 384,
+                n_small=1, n_large=5,
+            ),
+            1,
+        )
+        flush()
     # large-batch decode: weight streaming amortizes over the batch — the
     # serving-throughput operating point (vs the latency point at B=8)
-    out["tinyllama_w4_decode_tokens_per_s_b32"] = round(
-        decode_tps(packed, qmeta, cfg, B=32, P=128, n_small=1, n_large=6), 1
-    )
-    flush()
+    if not have("tinyllama_w4_decode_tokens_per_s_b32"):
+        out["tinyllama_w4_decode_tokens_per_s_b32"] = round(
+            decode_tps(packed, qmeta, cfg, B=32, P=128, n_small=1, n_large=6), 1
+        )
+        flush()
 
     # engine-level serving: continuous batcher under mixed load (staggered
     # prompt lengths, chunked prefill interleaving decode blocks)
