@@ -74,7 +74,7 @@ def _decode_attn_kernel(
             valid &= s_idx > pos - window
         for j in range(kb):  # static unroll over the kv-head block
             q = q_ref[bi, j]  # [G, hd] bf16
-            ks = ks_ref[bi, j, 0].astype(jnp.float32)  # [S] in lanes
+            ks = ks_ref[bi, j].astype(jnp.float32)  # [S] in lanes
 
             scores = jax.lax.dot_general(
                 q, k_ref[bi, j].astype(jnp.bfloat16),
@@ -88,7 +88,7 @@ def _decode_attn_kernel(
             e = jnp.exp(scores - m)
             p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
 
-            vs = vs_ref[bi, j, 0].astype(jnp.float32)  # [S] in lanes
+            vs = vs_ref[bi, j].astype(jnp.float32)  # [S] in lanes
             pv = (p * vs[None, :]).astype(jnp.bfloat16)
             out = jnp.dot(
                 pv, v_ref[bi, j].astype(jnp.bfloat16),
@@ -157,12 +157,12 @@ def _decode_attn_write_kernel(
             # output block IS the scan-ys cache update
             ki8 = jnp.where(row_hit, kq.astype(jnp.int8)[None, :], k_ref[bi, j])
             vi8 = jnp.where(row_hit, vq.astype(jnp.int8)[None, :], v_ref[bi, j])
-            ks_bl = jnp.where(lane_hit, k_sc, ks_ref[bi, j, 0].astype(jnp.float32))
-            vs_bl = jnp.where(lane_hit, v_sc, vs_ref[bi, j, 0].astype(jnp.float32))
+            ks_bl = jnp.where(lane_hit, k_sc, ks_ref[bi, j].astype(jnp.float32))
+            vs_bl = jnp.where(lane_hit, v_sc, vs_ref[bi, j].astype(jnp.float32))
             ko_ref[bi, j] = ki8
             vo_ref[bi, j] = vi8
-            kso_ref[bi, j, 0] = ks_bl
-            vso_ref[bi, j, 0] = vs_bl
+            kso_ref[bi, j] = ks_bl
+            vso_ref[bi, j] = vs_bl
 
             q = q_ref[bi, j]  # [G, hd] bf16
             scores = jax.lax.dot_general(
@@ -302,9 +302,11 @@ def pallas_decode_attention_write(
         return (b, h, 0, 0)
 
     def ix3(b, h, pos):
-        # scales ride as [B, KV, 1, S]: a (bb, kb, S) block of the 3D
+        # scales ride as [B, KV/kb, kb, S]: a (bb, kb, S) block of the 3D
         # array has trailing dims (kb, S), which Mosaic only allows when
-        # kb == KV; the singleton makes the trailing dims (1, S) == full
+        # kb == KV; regrouping so the head-block axis is its own dim makes
+        # the trailing block dims (kb, S) == full array dims for any kb,
+        # at one 8-sublane pad per head BLOCK (not per head)
         return (b, h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -316,15 +318,15 @@ def pallas_decode_attention_write(
             pl.BlockSpec((bb, kb, 1, hd), ix),
             pl.BlockSpec((bb, kb, S, hd), ix),
             pl.BlockSpec((bb, kb, S, hd), ix),
-            pl.BlockSpec((bb, kb, 1, S), ix3),
-            pl.BlockSpec((bb, kb, 1, S), ix3),
+            pl.BlockSpec((bb, None, kb, S), ix3),
+            pl.BlockSpec((bb, None, kb, S), ix3),
         ],
         out_specs=[
             pl.BlockSpec((bb, kb, G, hd), ix),
             pl.BlockSpec((bb, kb, S, hd), ix),
             pl.BlockSpec((bb, kb, S, hd), ix),
-            pl.BlockSpec((bb, kb, 1, S), ix3),
-            pl.BlockSpec((bb, kb, 1, S), ix3),
+            pl.BlockSpec((bb, None, kb, S), ix3),
+            pl.BlockSpec((bb, None, kb, S), ix3),
         ],
     )
     out, k_o, v_o, ks_o, vs_o = pl.pallas_call(
@@ -334,8 +336,8 @@ def pallas_decode_attention_write(
             jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
             jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
             jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
-            jax.ShapeDtypeStruct((B, KV, 1, S), jnp.float32),
-            jax.ShapeDtypeStruct((B, KV, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV // kb, kb, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV // kb, kb, S), jnp.float32),
         ],
         # NO input/output aliasing: inside the decode scan the cache tiles
         # arrive as xs slices and leave as ys slots — aliasing across that
@@ -350,8 +352,8 @@ def pallas_decode_attention_write(
         vn,
         k_c,
         v_c,
-        ks_c.reshape(B, KV, 1, S),
-        vs_c.reshape(B, KV, 1, S),
+        ks_c.reshape(B, KV // kb, kb, S),
+        vs_c.reshape(B, KV // kb, kb, S),
     )
     return (
         out.reshape(B, H, hd),
@@ -383,9 +385,11 @@ def pallas_decode_attention(
         return (b, h, 0, 0)
 
     def ix3(b, h, pos):
-        # scales ride as [B, KV, 1, S]: a (bb, kb, S) block of the 3D
+        # scales ride as [B, KV/kb, kb, S]: a (bb, kb, S) block of the 3D
         # array has trailing dims (kb, S), which Mosaic only allows when
-        # kb == KV; the singleton makes the trailing dims (1, S) == full
+        # kb == KV; regrouping so the head-block axis is its own dim makes
+        # the trailing block dims (kb, S) == full array dims for any kb,
+        # at one 8-sublane pad per head BLOCK (not per head)
         return (b, h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -395,8 +399,8 @@ def pallas_decode_attention(
             pl.BlockSpec((bb, kb, G, hd), ix),
             pl.BlockSpec((bb, kb, S, hd), ix),
             pl.BlockSpec((bb, kb, S, hd), ix),
-            pl.BlockSpec((bb, kb, 1, S), ix3),
-            pl.BlockSpec((bb, kb, 1, S), ix3),
+            pl.BlockSpec((bb, None, kb, S), ix3),
+            pl.BlockSpec((bb, None, kb, S), ix3),
         ],
         out_specs=pl.BlockSpec((bb, kb, G, hd), ix),
     )
@@ -408,6 +412,7 @@ def pallas_decode_attention(
         interpret=interpret,
     )(
         pos.astype(jnp.int32), q4, k_c, v_c,
-        ks_c.reshape(B, KV, 1, S), vs_c.reshape(B, KV, 1, S),
+        ks_c.reshape(B, KV // kb, kb, S),
+        vs_c.reshape(B, KV // kb, kb, S),
     )
     return out.reshape(B, H, hd)
