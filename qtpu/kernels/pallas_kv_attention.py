@@ -28,13 +28,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_blocks(B, KV, S, hd, bytes_per_head, scale_bytes_per_head=0):
     """(bb, kb): sequences × kv-heads per program, sized for the 16 MB
-    VMEM (≤ ~7 MB of cache blocks per program → room for double
-    buffering). Both divide their axis. The (bb, kb) body is a static
-    unroll, so beyond VMEM there is an instruction-stream cost per body —
-    QTPU_ATTN_BB / QTPU_ATTN_KB override for measurement."""
+    VMEM with two constraints: ≤ ~5 MB of cache blocks per program (room
+    for double buffering), and ≤ 32 unrolled (bi, j) bodies — the bodies'
+    stack intermediates scale with the unroll count, and 64 bodies hit
+    the 16 MB scoped-vmem ceiling at 18 MB (B=32 write+attend, S=288)
+    while the measured-good configurations all sit at ≤ 32. Both factors
+    divide their axis. QTPU_ATTN_BB / QTPU_ATTN_KB override for
+    measurement."""
     import os
 
-    budget = 7 * 1024 * 1024
+    budget = 5 * 1024 * 1024
     per_head = bytes_per_head + scale_bytes_per_head
     kb = max(1, min(KV, budget // max(per_head, 1)))
     while KV % kb:
@@ -42,6 +45,10 @@ def _pick_blocks(B, KV, S, hd, bytes_per_head, scale_bytes_per_head=0):
     bb = max(1, min(B, budget // max(kb * per_head, 1)))
     while B % bb:
         bb -= 1
+    while bb > 1 and bb * kb > 32:
+        bb -= 1
+        while B % bb:
+            bb -= 1
     env_bb = os.environ.get("QTPU_ATTN_BB")
     env_kb = os.environ.get("QTPU_ATTN_KB")
     if env_bb and B % int(env_bb) == 0:
