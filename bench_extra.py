@@ -176,28 +176,44 @@ def main():
         flush()
 
     # engine-level serving: continuous batcher under mixed load (staggered
-    # prompt lengths, chunked prefill interleaving decode blocks)
-    from qtpu.serve.batching import ContinuousBatcher
+    # prompt lengths, chunked prefill interleaving decode blocks). A
+    # warmup pass populates the jit caches first — the engine's program
+    # zoo (chunked-prefill x decode-block shapes) takes minutes to compile
+    # on this backend and would otherwise dominate the steady-state
+    # tokens/s and TTFT being measured
+    if not have("batcher_tokens_per_s"):
+        from qtpu.serve.batching import ContinuousBatcher
 
-    eng = ContinuousBatcher(
-        packed, cfg, qmeta=qmeta, max_batch=8, max_seq_len=512,
-        kv_dtype="int8", decode_block=16, prefill_chunk=128,
-    )
-    rng = np.random.default_rng(0)
-    for i in range(24):
-        plen = int(rng.integers(16, 384))
-        eng.submit(
-            rng.integers(0, cfg.vocab_size, (plen,), dtype=np.int64),
-            max_new_tokens=64,
-        )
-    t0 = time.perf_counter()
-    done = eng.run()
-    dt = time.perf_counter() - t0
-    m = eng.metrics()
-    out["batcher_tokens_per_s"] = round(m["total_tokens"] / dt, 1)
-    out["batcher_mean_ttft_s"] = round(m["mean_ttft_s"], 4)
-    out["batcher_requests"] = m["requests"]
-    flush()
+        rng = np.random.default_rng(0)
+
+        def load(eng, n):
+            for _ in range(n):
+                plen = int(rng.integers(16, 384))
+                eng.submit(
+                    rng.integers(0, cfg.vocab_size, (plen,), dtype=np.int64),
+                    max_new_tokens=64,
+                )
+
+        def fresh():
+            return ContinuousBatcher(
+                packed, cfg, qmeta=qmeta, max_batch=8, max_seq_len=512,
+                kv_dtype="int8", decode_block=16, prefill_chunk=128,
+            )
+
+        warm = fresh()
+        load(warm, 8)
+        warm.run()
+
+        eng = fresh()
+        load(eng, 24)
+        t0 = time.perf_counter()
+        eng.run()
+        dt = time.perf_counter() - t0
+        m = eng.metrics()
+        out["batcher_tokens_per_s"] = round(m["total_tokens"] / dt, 1)
+        out["batcher_mean_ttft_s"] = round(m["mean_ttft_s"], 4)
+        out["batcher_requests"] = m["requests"]
+        flush()
     del packed
 
     # MoE decode: Mixtral-style 8-expert model, every expert's packed
@@ -218,6 +234,8 @@ def main():
         num_experts=8,
         num_experts_per_tok=2,
     )
+    if have("moe_8x1b_w4_decode_tokens_per_s"):
+        return 0
     packed_moe, qmeta_moe = tiled_packed_moe(moe_cfg, 4, 128)
     out["moe_8x1b_w4_decode_tokens_per_s"] = round(
         decode_tps(
