@@ -184,9 +184,11 @@ def main():
     if not have("batcher_tokens_per_s"):
         from qtpu.serve.batching import ContinuousBatcher
 
-        rng = np.random.default_rng(0)
-
         def load(eng, n):
+            # fresh rng per load: warmup and the timed run submit the
+            # IDENTICAL request sequence, so the warmup compiles every
+            # (batch-bucket, chunk-bucket) program the timed run will hit
+            rng = np.random.default_rng(0)
             for _ in range(n):
                 plen = int(rng.integers(16, 384))
                 eng.submit(
@@ -201,7 +203,7 @@ def main():
             )
 
         warm = fresh()
-        load(warm, 8)
+        load(warm, 24)
         warm.run()
 
         eng = fresh()
