@@ -12,11 +12,14 @@ weight-bandwidth-bound, exactly where 4-bit weights pay off.
 
 Relay-backend realities shape this file (measured, see
 .claude/skills/verify/SKILL.md): host→device transfer runs ~13 MB/s and
-numpy RNG ~10 MB/s, so params are generated ON DEVICE, one layer per site
-tiled across the stack (throughput doesn't care about weight uniqueness);
+numpy RNG ~10 MB/s, so params are generated ON DEVICE — per-layer DISTINCT
+(full [L, ...] random draws: a broadcast-tiled stack lets XLA stream one
+layer's bytes L times from cache, which produced a physically impossible
+dense MFU of 1.88 in round 3; both paths must pay real HBM traffic).
 block_until_ready does not fence, so timing chains decode steps (inherently
 data-dependent) and differences N_small vs N_large runs around a scalar
-host readback.
+host readback. The dense weight-stream MFU is asserted <= 1.0 so a
+cheating baseline can never be reported again.
 """
 
 import json
@@ -27,7 +30,10 @@ import numpy as np
 
 
 def _device_init(cfg):
-    """Per-site single-layer random weights on device, tiled over layers."""
+    """Per-layer DISTINCT random weights, generated on device as full
+    [L, ...] draws so both the dense and packed paths stream every layer's
+    real bytes from HBM (a broadcast-tiled stack deduplicates to one
+    layer's buffer and fakes an impossible dense baseline)."""
     import jax
     import jax.numpy as jnp
 
@@ -36,11 +42,8 @@ def _device_init(cfg):
     Q, KV = cfg.q_dim, cfg.kv_dim
     keys = jax.random.split(jax.random.PRNGKey(0), 8)
 
-    def w1(k, *sh):
-        return jax.random.normal(k, sh, jnp.bfloat16) * 0.02
-
-    def tile(a):
-        return jnp.broadcast_to(a[None], (L,) + a.shape)
+    def w_layers(k, *sh):
+        return jax.random.normal(k, (L,) + sh, jnp.bfloat16) * 0.02
 
     site_shapes = {
         "q_proj": (D, Q),
@@ -51,44 +54,44 @@ def _device_init(cfg):
         "up_proj": (D, F),
         "down_proj": (F, D),
     }
-    singles = {
-        site: w1(k, *sh)
+    stacked = {
+        site: w_layers(k, *sh)
         for (site, sh), k in zip(site_shapes.items(), keys[:7])
     }
     params = {
-        "embed": w1(keys[7], V, D),
+        "embed": jax.random.normal(keys[7], (V, D), jnp.bfloat16) * 0.02,
         "layers": {
             "attn_norm": jnp.ones((L, D), jnp.bfloat16),
             "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
-            **{s: {"w": tile(w)} for s, w in singles.items()},
+            **{s: {"w": w} for s, w in stacked.items()},
         },
         "final_norm": jnp.ones((D,), jnp.bfloat16),
-        "lm_head": {"w": w1(jax.random.PRNGKey(9), D, V)},
+        "lm_head": {
+            "w": jax.random.normal(jax.random.PRNGKey(9), (D, V), jnp.bfloat16)
+            * 0.02
+        },
     }
-    return params, singles
+    return params, stacked
 
 
-def _device_pack(cfg, singles, lm_head_w, w_bit, group):
-    """Pack each unique site weight once on device, tile over layers."""
-    import jax.numpy as jnp
+def _device_pack(cfg, stacked, lm_head_w, w_bit, group):
+    """Pack every layer's weight on device (one jitted vmap per site)."""
+    import jax
 
     from qtpu.core.packing import quantize_pack
 
-    L = cfg.num_layers
     metas = {}
-
-    def tile(a):
-        return jnp.broadcast_to(a[None], (L,) + a.shape)
-
     layers = {}
-    for site, w in singles.items():
-        qt = quantize_pack(w, w_bit, group)
+    for site, w in stacked.items():
+        qt = jax.jit(
+            jax.vmap(lambda x: quantize_pack(x, w_bit, group))
+        )(w)
         layers[site] = {
-            "data": tile(qt.data),
-            "scales": tile(qt.scales),
-            "zeros": tile(qt.zeros),
+            "data": qt.data,
+            "scales": qt.scales,
+            "zeros": qt.zeros,
         }
-        metas[site] = (w_bit, group, w.shape[0], w.shape[1])
+        metas[site] = (w_bit, group, w.shape[1], w.shape[2])
     qt = quantize_pack(lm_head_w, w_bit, group)
     head = {"data": qt.data, "scales": qt.scales, "zeros": qt.zeros}
     metas["lm_head"] = (w_bit, group, lm_head_w.shape[0], lm_head_w.shape[1])
@@ -216,6 +219,18 @@ def main():
     gbps = _measure_hbm_gbps()
     mfu_packed = (_streamed_bytes(packed) / 1e9 / gbps) / t_packed
     mfu_dense = (_streamed_bytes(params) / 1e9 / gbps) / t_dense
+    # A weight-stream fraction above 1.0 is physically impossible (the step
+    # finished faster than its own weight bytes could move at measured HBM
+    # speed) — it means a path is not streaming real bytes (e.g. a
+    # broadcast-deduplicated weight stack). Refuse to report such a run.
+    assert mfu_dense <= 1.0, (
+        f"impossible dense MFU {mfu_dense:.3f} — dense path is not "
+        "streaming real weight bytes; benchmark invalid"
+    )
+    assert mfu_packed <= 1.0, (
+        f"impossible packed MFU {mfu_packed:.3f} — packed path is not "
+        "streaming real weight bytes; benchmark invalid"
+    )
     print(
         json.dumps(
             {

@@ -203,8 +203,11 @@ def main():
             )
 
         warm = fresh()
+        t0 = time.perf_counter()
         load(warm, 24)
         warm.run()
+        cold_dt = time.perf_counter() - t0
+        cold_ttft = warm.metrics()["mean_ttft_s"]
 
         eng = fresh()
         load(eng, 24)
@@ -213,7 +216,13 @@ def main():
         dt = time.perf_counter() - t0
         m = eng.metrics()
         out["batcher_tokens_per_s"] = round(m["total_tokens"] / dt, 1)
-        out["batcher_mean_ttft_s"] = round(m["mean_ttft_s"], 4)
+        # warm = all programs precompiled by the first pass (steady-state
+        # serving); cold = first-ever run including every jit compile
+        out["batcher_mean_ttft_warm_s"] = round(m["mean_ttft_s"], 4)
+        out["batcher_mean_ttft_cold_s"] = round(cold_ttft, 4)
+        out["batcher_tokens_per_s_cold"] = round(
+            warm.metrics()["total_tokens"] / cold_dt, 1
+        )
         out["batcher_requests"] = m["requests"]
         flush()
     del packed

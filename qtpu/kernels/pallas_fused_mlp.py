@@ -90,17 +90,18 @@ def _fused_mlp_kernel(
         o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _plan(M, K, F, bits, group):
+def _plan(M, K, F, D, bits, group):
     """Choose the F-block width: bigger blocks mean fewer grid steps (per-
     step overhead ~0.5 µs) but more VMEM per step (gate + up + down blocks,
-    double-buffered)."""
+    double-buffered) on top of the resident scratches."""
+    scratch_bytes = M * K * 2 + M * D * 4  # h_scr bf16 + acc f32, resident
     for bf in (1024, 512, 256):
         if F % bf or bf % group:
             continue
-        step_bytes = (2 * K * bf + bf * 2048) * bits // 8  # rough
-        if step_bytes * 2 <= 10 * 1024 * 1024:
+        step_bytes = (2 * K * bf + bf * D) * bits // 8
+        if step_bytes * 2 + scratch_bytes <= 10 * 1024 * 1024:
             return bf
-    raise NotImplementedError("no F block divides F and the group size")
+    raise NotImplementedError("no F block fits VMEM for these dims")
 
 
 @partial(
@@ -133,6 +134,10 @@ def pallas_fused_mlp(
         raise NotImplementedError("fused mlp needs affine W4/W8 groups")
     if gu_zeros is None or d_zeros is None:
         raise NotImplementedError("fused mlp expects asymmetric packing")
+    if x.dtype != jnp.bfloat16:
+        # h_scr is bf16; silently downcasting f32 activations would diverge
+        # from the composed fallback — let the caller compose plain ops
+        raise NotImplementedError("fused mlp is bf16-activation only")
     orig_shape = x.shape
     M = 1
     for d in orig_shape[:-1]:
@@ -144,7 +149,7 @@ def pallas_fused_mlp(
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
     Mp = M + pad_m
-    bf = _plan(Mp, K, F, bits, group)
+    bf = _plan(Mp, K, F, D, bits, group)
     G = K // group
     pk = 8 // bits  # packed rows per K row
     grid = (F // bf,)
@@ -236,6 +241,10 @@ def pallas_fused_mlp_stacked(
         raise NotImplementedError("fused mlp needs affine W4/W8 groups")
     if gu_zeros is None or d_zeros is None:
         raise NotImplementedError("fused mlp expects asymmetric packing")
+    if x.dtype != jnp.bfloat16:
+        # h_scr is bf16; silently downcasting f32 activations would diverge
+        # from the composed fallback — let the caller compose plain ops
+        raise NotImplementedError("fused mlp is bf16-activation only")
     orig_shape = x.shape
     M = 1
     for d in orig_shape[:-1]:
@@ -247,7 +256,7 @@ def pallas_fused_mlp_stacked(
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
     Mp = M + pad_m
-    bf = _plan(Mp, K, F, bits, group)
+    bf = _plan(Mp, K, F, D, bits, group)
     G = K // group
     pk = 8 // bits
     grid = (F // bf,)

@@ -49,12 +49,23 @@ def _pick_blocks(B, KV, S, hd, bytes_per_head, scale_bytes_per_head=0):
         bb -= 1
         while B % bb:
             bb -= 1
+    while kb > 32 and bb * kb > 32:  # MHA: many kv heads, bb already 1
+        kb -= 1
+        while KV % kb:
+            kb -= 1
     env_bb = os.environ.get("QTPU_ATTN_BB")
     env_kb = os.environ.get("QTPU_ATTN_KB")
     if env_bb and B % int(env_bb) == 0:
         bb = int(env_bb)
     if env_kb and KV % int(env_kb) == 0:
         kb = int(env_kb)
+    if bb * kb > 32:
+        import warnings
+
+        warnings.warn(
+            f"QTPU_ATTN_BB/KB override gives {bb * kb} unrolled bodies "
+            "(>32): risks the scoped-vmem OOM the cap prevents"
+        )
     return bb, kb
 
 

@@ -74,13 +74,17 @@ def _nearest_level(x: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:
     return best_v
 
 
-@partial(jax.jit, static_argnames=("n_bit", "q_group_size", "k", "grid"))
+@partial(
+    jax.jit,
+    static_argnames=("n_bit", "q_group_size", "k", "grid", "grid_values"),
+)
 def apot_quantize_tensor(
     w: jnp.ndarray,
     n_bit: int = 4,
     q_group_size: int = -1,
     k: int = 2,
     grid: tuple = (0.01, 2.01, 0.05),
+    grid_values: tuple | None = None,
 ) -> jnp.ndarray:
     """APOT fake-quantize a tensor; returns same shape/dtype."""
     orig_shape = w.shape
@@ -96,8 +100,11 @@ def apot_quantize_tensor(
     levels = jnp.asarray(full_apot_codebook(n_bit, k))
 
     s0 = jnp.clip(jnp.max(jnp.abs(w), axis=1, keepdims=True), 1e-5, None)
-    start, stop, step = grid
-    candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
+    if grid_values is not None:
+        candidates = jnp.asarray(np.array(grid_values, dtype=np.float32))
+    else:
+        start, stop, step = grid
+        candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
     def scan_step(carry, c):
         best_err, best_scale = carry
@@ -130,13 +137,17 @@ def _nearest_index(x: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:
     return best_i
 
 
-@partial(jax.jit, static_argnames=("n_bit", "group_size", "k", "grid"))
+@partial(
+    jax.jit,
+    static_argnames=("n_bit", "group_size", "k", "grid", "grid_values"),
+)
 def apot_quantize_codes(
     w_kn: jnp.ndarray,
     n_bit: int = 4,
     group_size: int = 128,
     k: int = 2,
     grid: tuple = (0.01, 2.01, 0.05),
+    grid_values: tuple | None = None,
 ):
     """Packed-serving variant of APOT: quantize a [K, N] weight (groups
     tiling K) to CODEBOOK INDICES.
@@ -154,8 +165,11 @@ def apot_quantize_codes(
     w = w_kn.astype(jnp.float32).reshape(K // g, g, N)
 
     s0 = jnp.clip(jnp.max(jnp.abs(w), axis=1, keepdims=True), 1e-5, None)
-    start, stop, step = grid
-    candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
+    if grid_values is not None:
+        candidates = jnp.asarray(np.array(grid_values, dtype=np.float32))
+    else:
+        start, stop, step = grid
+        candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
     def scan_step(carry, c):
         best_err, best_scale = carry

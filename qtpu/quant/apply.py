@@ -714,6 +714,10 @@ def fold_smooth(packed: dict, qmeta, arch: str = "llama"):
         vs = [layers.get(n, {}).get("smooth") for n in names if n in layers]
         if not vs or any(v is None for v in vs):
             return None
+        # shape mismatch = not identical (device compare would broadcast
+        # or raise; np.array_equal semantics short-circuit on shape)
+        if any(v.shape != vs[0].shape for v in vs[1:]):
+            return None
         if len(vs) == 1 or bool(
             jnp.all(jnp.stack([jnp.all(v == vs[0]) for v in vs[1:]]))
         ):
@@ -807,6 +811,8 @@ def fuse_packed_sites(packed: dict, qmeta, arch: str = "llama"):
         if not all(present):
             return False
         s0 = parts[0][key]
+        if any(p[key].shape != s0.shape for p in parts[1:]):
+            return False
         return bool(
             jnp.all(jnp.stack([jnp.all(p[key] == s0) for p in parts[1:]]))
         )

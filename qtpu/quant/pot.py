@@ -31,16 +31,23 @@ def _pot_reconstruct(w, s, e_max_idx):
     return s * jnp.sign(w) * jnp.exp2(E)
 
 
-@partial(jax.jit, static_argnames=("n_bit", "q_group_size", "grid"))
+@partial(
+    jax.jit, static_argnames=("n_bit", "q_group_size", "grid", "grid_values")
+)
 def pot_quantize_tensor(
     w: jnp.ndarray,
     n_bit: int = 4,
     q_group_size: int = -1,
     grid: tuple = (0.01, 2.01, 0.01),
+    grid_values: tuple | None = None,
 ) -> jnp.ndarray:
     """POT fake-quantize a tensor; returns same shape/dtype.
 
     grid = (start, stop, step) for the per-row scale multiplier search.
+    grid_values (explicit candidate multipliers) overrides grid — the
+    reference-parity path passes torch.arange's exact float32 values
+    (1-ulp grid differences measurably move which scale wins the SSE
+    race, see quant.apply._parity_grid).
     """
     orig_shape = w.shape
     orig_dtype = w.dtype
@@ -60,8 +67,11 @@ def pot_quantize_tensor(
     e_min = jnp.floor(jnp.log2(max_val_safe)) - e_max_idx
     s0 = jnp.clip(jnp.exp2(e_min), _TINY, None)
 
-    start, stop, step = grid
-    candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
+    if grid_values is not None:
+        candidates = jnp.asarray(np.array(grid_values, dtype=np.float32))
+    else:
+        start, stop, step = grid
+        candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
     def scan_step(carry, c):
         best_err, best_scale = carry
@@ -90,12 +100,15 @@ def pot_codebook(n_bit: int) -> jnp.ndarray:
     return jnp.concatenate([pos, -pos])
 
 
-@partial(jax.jit, static_argnames=("n_bit", "group_size", "grid"))
+@partial(
+    jax.jit, static_argnames=("n_bit", "group_size", "grid", "grid_values")
+)
 def pot_quantize_codes(
     w_kn: jnp.ndarray,
     n_bit: int = 4,
     group_size: int = 128,
     grid: tuple = (0.01, 2.01, 0.01),
+    grid_values: tuple | None = None,
 ):
     """Packed-serving variant: quantize a [K, N] weight (groups tiling K)
     to POT CODES instead of fake values.
@@ -115,8 +128,11 @@ def pot_quantize_codes(
     e_min = jnp.floor(jnp.log2(jnp.clip(max_val, 1e-12, None))) - e_max_idx
     s0 = jnp.clip(jnp.exp2(e_min), _TINY, None)
 
-    start, stop, step = grid
-    candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
+    if grid_values is not None:
+        candidates = jnp.asarray(np.array(grid_values, dtype=np.float32))
+    else:
+        start, stop, step = grid
+        candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
     def scan_step(carry, c):
         best_err, best_scale = carry
