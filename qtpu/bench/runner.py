@@ -130,12 +130,6 @@ class QuantizationBenchmark:
             )
             return
         if pp > 1:
-            if tp > 1:
-                self.log(
-                    "mesh: pipe > 1 with model > 1 is unsupported — "
-                    "running single-device"
-                )
-                return
             if self.model_cfg.num_layers % pp:
                 self.log(
                     f"mesh: {self.model_cfg.num_layers} layers do not "
@@ -147,9 +141,14 @@ class QuantizationBenchmark:
                 shard_params_pipeline,
             )
 
-            self.mesh = make_pipe_mesh(pp, data=dp)
-            self.params = shard_params_pipeline(self.params, self.mesh)
-            self.log(f"mesh: data={dp} x pipe={pp}")
+            # tp > 1 composes: stage-local Megatron shardings ride the
+            # mesh's `model` axis as a GSPMD auto axis inside the GPipe
+            # shard_map (sharding/pipeline.py)
+            self.mesh = make_pipe_mesh(pp, data=dp, model=tp)
+            self.params = shard_params_pipeline(
+                self.params, self.mesh, arch=self.model_cfg.arch
+            )
+            self.log(f"mesh: data={dp} x pipe={pp} x model={tp}")
             return
         from qtpu.sharding import make_mesh, shard_params
 

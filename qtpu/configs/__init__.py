@@ -62,18 +62,18 @@ def default_config() -> dict:
                 "actorder": False,
                 "error_compensation": True,
             },
+            # no grid_step/grid_search_range defaults: absent knobs select
+            # reference-parity grids (quant.apply._parity_grid — POT 0.01,
+            # APOT size-coarsened 0.05/0.1, bit-exact torch.arange values);
+            # setting them explicitly searches a custom grid instead
             "pot": {
                 "w_bit": 4,
                 "q_group_size": 128,
-                "grid_search_range": [0.01, 2.01],
-                "grid_step": 0.01,
             },
             "apot": {
                 "w_bit": 4,
                 "q_group_size": 128,
                 "k": 2,
-                "grid_search_range": [0.01, 2.01],
-                "grid_step": 0.05,
             },
             "smoothquant": {
                 "w_bit": 8,

@@ -494,6 +494,91 @@ def _o_proj_resid(attn, x, layers, l, qm):
     return x + linear(attn, layers["o_proj"], qm("o_proj"), layer=l)
 
 
+def _try_boundary_scan(x, layers, cache_xs, start, rope, mask, cfg, qmeta_d):
+    """Decode layers scan built on the layer-boundary megakernel: per layer
+    TWO launches (attention; o-proj→MLP→next-qkv in one phased grid) instead
+    of four, with one uninterrupted weight-DMA stream across the whole
+    non-attention span (kernels/pallas_layer_boundary.py).
+
+    OFF by default (QTPU_BOUNDARY=1 enables): measured on v5e TinyLlama W4
+    B=8 the megakernel span runs 46.9 µs vs 44.4 µs for the composed
+    three-kernel chain, and the full decode step 2.30 vs 2.22 ms — Mosaic
+    already overlaps back-to-back launches' weight DMA well enough that
+    the phased grid's @pl.when dispatch costs more than the saved
+    boundaries. Kept as the measured experiment (and for hardware where
+    launch gaps are real). Applies only to fully plain-packed fused-site
+    stacked delivery at T=1 on TPU; returns None otherwise (caller runs
+    the composed-kernel scan)."""
+    import os
+
+    if os.environ.get("QTPU_BOUNDARY") != "1":
+        return None
+    if jax.default_backend() != "tpu" or qmeta_d is None:
+        return None
+    if x.shape[1] != 1 or x.dtype != jnp.bfloat16:
+        return None
+    needed = ("qkv_proj", "o_proj", "gateup_proj", "down_proj")
+    for s in needed:
+        m = qmeta_d.get(s)
+        if m is None or len(m) != 4 or not _plain_packed(layers.get(s)):
+            return None
+    from qtpu.kernels.dequant_matmul import quantized_matmul_stacked
+    from qtpu.kernels.pallas_layer_boundary import (
+        pallas_layer_boundary_stacked,
+    )
+
+    qkv_site, o_site, gu_site, d_site = (layers[s] for s in needed)
+    mq, mo, mgu, md = (qmeta_d[s] for s in needed)
+    L = layers["attn_norm"].shape[0]
+    B = x.shape[0]
+    Q, KV = cfg.q_dim, cfg.kv_dim
+    cos, sin = rope
+
+    def split_heads(qkv):
+        q, k, v = jnp.split(qkv, [Q, Q + KV], axis=-1)
+        return (
+            q.reshape(B, 1, cfg.num_heads, cfg.head_dim),
+            k.reshape(B, 1, cfg.num_kv_heads, cfg.head_dim),
+            v.reshape(B, 1, cfg.num_kv_heads, cfg.head_dim),
+        )
+
+    def body(carry, xs):
+        xc, qkv = carry
+        l, kc, vc, ksc, vsc = xs
+        q, k, v = split_heads(qkv)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn, layer_kv = _write_and_attend(
+            q, k, v, (kc, vc, ksc, vsc), start, mask, cfg
+        )
+        y2, qkv_next = pallas_layer_boundary_stacked(
+            attn, xc,
+            layers["mlp_norm"], layers["attn_norm"],
+            o_site["data"], o_site["scales"], o_site["zeros"],
+            gu_site["data"], gu_site["scales"], gu_site["zeros"],
+            d_site["data"], d_site["scales"], d_site["zeros"],
+            qkv_site["data"], qkv_site["scales"], qkv_site["zeros"],
+            mo, mgu, md, mq,
+            l, jnp.minimum(l + 1, L - 1),
+            eps=cfg.norm_eps,
+        )
+        return (y2, qkv_next), layer_kv
+
+    try:
+        # layer 0's qkv (with the attn norm folded into the launch) seeds
+        # the rotated chain; thereafter each boundary kernel emits the
+        # NEXT layer's qkv
+        qkv0 = quantized_matmul_stacked(
+            x, qkv_site["data"], qkv_site["scales"], qkv_site["zeros"],
+            mq, jnp.int32(0), norm_w=layers["attn_norm"], eps=cfg.norm_eps,
+        )
+        xs = (jnp.arange(L, dtype=jnp.int32),) + cache_xs
+        (x_out, _), kv_new = jax.lax.scan(body, (x, qkv0), xs)
+    except NotImplementedError:
+        return None
+    return x_out, kv_new
+
+
 @partial(jax.jit, static_argnames=("cfg", "qmeta"))
 def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qmeta=None):
     """Incremental forward for serving: prefill (T = prompt length) and
@@ -554,32 +639,40 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
             )
     else:
         cache_xs = (cache.k, cache.v, cache.k_scale, cache.v_scale)
-        if mode == "stacked":
-            def body(x, xs):
-                l, an, mn, kc, vc, ksc, vsc = xs
-                x, layer_kv = _layer_fwd_cached(
-                    x, layers, l, (an, mn), (kc, vc, ksc, vsc), start, rope,
-                    mask, cfg, qmeta_d,
-                )
-                return x, layer_kv
-
-            xs = (
-                jnp.arange(L, dtype=jnp.int32),
-                layers["attn_norm"],
-                layers["mlp_norm"],
-            ) + cache_xs
+        boundary = None
+        if mode == "stacked" and T == 1:
+            boundary = _try_boundary_scan(
+                x, layers, cache_xs, start, rope, mask, cfg, qmeta_d
+            )
+        if boundary is not None:
+            x, (k_new, v_new, ks_new, vs_new) = boundary
         else:
-            def body(x, xs):
-                lp, kc, vc, ksc, vsc = xs
-                x, layer_kv = _layer_fwd_cached(
-                    x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
-                    (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d,
-                )
-                return x, layer_kv
+            if mode == "stacked":
+                def body(x, xs):
+                    l, an, mn, kc, vc, ksc, vsc = xs
+                    x, layer_kv = _layer_fwd_cached(
+                        x, layers, l, (an, mn), (kc, vc, ksc, vsc), start,
+                        rope, mask, cfg, qmeta_d,
+                    )
+                    return x, layer_kv
 
-            xs = (layers,) + cache_xs
+                xs = (
+                    jnp.arange(L, dtype=jnp.int32),
+                    layers["attn_norm"],
+                    layers["mlp_norm"],
+                ) + cache_xs
+            else:
+                def body(x, xs):
+                    lp, kc, vc, ksc, vsc = xs
+                    x, layer_kv = _layer_fwd_cached(
+                        x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
+                        (kc, vc, ksc, vsc), start, rope, mask, cfg, qmeta_d,
+                    )
+                    return x, layer_kv
 
-        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
+                xs = (layers,) + cache_xs
+
+            x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     qmh = None if qmeta_d is None else qmeta_d.get("lm_head")
     logits = linear(x, params["lm_head"], qmh).astype(jnp.float32)

@@ -26,6 +26,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sse_df(d, axis):
+    """Near-exact sum of the float32 SQUARES of d over `axis` in
+    double-float form: returns (hi, lo) with hi + lo ≈ the exact sum of
+    float32(d·d) (two-sum compensated halving tree, ~2⁻⁴⁸ relative).
+
+    Why: the scale search picks argmin over SSE candidates whose true sums
+    can differ by less than one f32 ulp; a plain f32 reduction collapses
+    such pairs to an exact tie and the keep-first rule then diverges from
+    the reference, flipping a whole group's scale (measured: 2 groups per
+    tiny model = 0.31 ppl crosscheck gap). Comparing (hi, lo)
+    lexicographically resolves ties the way the exact sum does — which
+    matches the reference's pairwise f32 sums wherever those are accurate
+    enough to see the difference."""
+    hi = (d * d).astype(jnp.float32)
+    lo = jnp.zeros_like(hi)
+    while hi.shape[axis] > 1:
+        n = hi.shape[axis]
+        half = n // 2
+        a_h = jax.lax.slice_in_dim(hi, 0, half, axis=axis)
+        b_h = jax.lax.slice_in_dim(hi, half, 2 * half, axis=axis)
+        a_l = jax.lax.slice_in_dim(lo, 0, half, axis=axis)
+        b_l = jax.lax.slice_in_dim(lo, half, 2 * half, axis=axis)
+        s = a_h + b_h
+        t = s - a_h
+        e = (a_h - (s - t)) + (b_h - t)  # two-sum rounding error
+        l2 = a_l + b_l + e
+        if n % 2:
+            s = jnp.concatenate(
+                [s, jax.lax.slice_in_dim(hi, n - 1, n, axis=axis)], axis=axis
+            )
+            l2 = jnp.concatenate(
+                [l2, jax.lax.slice_in_dim(lo, n - 1, n, axis=axis)],
+                axis=axis,
+            )
+        hi, lo = s, l2
+    return hi, lo
+
+
+def _df_less(ah, al, bh, bl):
+    return (ah < bh) | ((ah == bh) & (al < bl))
+
+
+
 def generate_apot_levels(n: int, k: int) -> np.ndarray:
     """All (2^k)^n additive-power-of-two sums, deduplicated and sorted
     ascending (unsigned). Host-side; the result is a small constant."""
@@ -107,18 +150,24 @@ def apot_quantize_tensor(
         candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
     def scan_step(carry, c):
-        best_err, best_scale = carry
+        bh, bl, best_scale = carry
         s_c = s0 * c
         w_q = s_c * _nearest_level(w / s_c, levels)
-        err = jnp.sum((w - w_q) ** 2, axis=1, keepdims=True)
-        take = err < best_err
+        eh, el = _sse_df(w - w_q, 1)
+        take = _df_less(eh, el, bh, bl)
         return (
-            jnp.where(take, err, best_err),
+            jnp.where(take, eh, bh),
+            jnp.where(take, el, bl),
             jnp.where(take, s_c, best_scale),
         ), None
 
-    init = (jnp.full((w.shape[0], 1), jnp.inf, jnp.float32), s0)
-    (_, best_scale), _ = jax.lax.scan(scan_step, init, candidates)
+    shp = (w.shape[0], 1)
+    init = (
+        jnp.full(shp, jnp.inf, jnp.float32),
+        jnp.zeros(shp, jnp.float32),
+        s0,
+    )
+    (_, _, best_scale), _ = jax.lax.scan(scan_step, init, candidates)
 
     w_q = best_scale * _nearest_level(w / best_scale, levels)
     return w_q.reshape(orig_shape).astype(orig_dtype)
@@ -172,18 +221,24 @@ def apot_quantize_codes(
         candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
     def scan_step(carry, c):
-        best_err, best_scale = carry
+        bh, bl, best_scale = carry
         s_c = s0 * c
         w_q = s_c * _nearest_level(w / s_c, levels)
-        err = jnp.sum((w - w_q) ** 2, axis=1, keepdims=True)
-        take = err < best_err
+        eh, el = _sse_df(w - w_q, 1)
+        take = _df_less(eh, el, bh, bl)
         return (
-            jnp.where(take, err, best_err),
+            jnp.where(take, eh, bh),
+            jnp.where(take, el, bl),
             jnp.where(take, s_c, best_scale),
         ), None
 
-    init = (jnp.full((K // g, 1, N), jnp.inf, jnp.float32), s0)
-    (_, s), _ = jax.lax.scan(scan_step, init, candidates)
+    shp = (K // g, 1, N)
+    init = (
+        jnp.full(shp, jnp.inf, jnp.float32),
+        jnp.zeros(shp, jnp.float32),
+        s0,
+    )
+    (_, _, s), _ = jax.lax.scan(scan_step, init, candidates)
 
     codes = _nearest_index(w / s, levels)
     return (

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from qtpu.calib.stats import CalibStats
 from qtpu.core.packing import quantize_pack
@@ -48,6 +49,40 @@ def _grid(mcfg: dict, default_step: float) -> tuple:
     lo, hi = mcfg.get("grid_search_range", [0.01, 2.01])
     step = mcfg.get("grid_step", default_step)
     return (float(lo), float(hi), float(step))
+
+
+def _parity_grid(
+    mcfg: dict, default_step: float, n_elements: int | None = None
+) -> tuple:
+    """Exact reference candidate multipliers for the POT/APOT scale search.
+
+    The reference hardcodes torch.arange(0.01, 2.01, step): step 0.01 for
+    POT (pot_apot_quantizer.py:75) and, for APOT, a size-coarsened step —
+    0.1 when the weight has >500k elements, else 0.05
+    (pot_apot_quantizer.py:258-261). Parity needs the BIT-EXACT values:
+    torch.arange rounds differently from np.arange and the 1-ulp grid
+    differences measurably move which scale wins the SSE race (0.23 ppl on
+    the crosscheck). torch generates the values when importable; the
+    float64-arange fallback is <=1 ulp off. Setting grid_step or
+    reference_grid=false in the method config leaves parity mode (the
+    finer grid is the improvement mode; it beat the reference by 17 ppl
+    on the W4 crosscheck)."""
+    lo, hi = mcfg.get("grid_search_range", [0.01, 2.01])
+    step = mcfg.get("grid_step")
+    if step is None:
+        step = default_step
+        if n_elements is not None and bool(mcfg.get("reference_grid", True)):
+            step = 0.1 if n_elements > 500_000 else 0.05
+    try:
+        import torch
+
+        vals = torch.arange(float(lo), float(hi), float(step)).numpy()
+        vals = vals.astype(_np.float32)
+    except ImportError:
+        vals = _np.arange(float(lo), float(hi), float(step)).astype(
+            _np.float32
+        )
+    return tuple(float(v) for v in vals)
 
 
 def _expert_stats_view(stats, E: int, expert_inputs):
@@ -146,19 +181,25 @@ def quantize_model(
             return {"w": q}
 
     elif method == "pot":
-        grid = _grid(mcfg, 0.01)
+        gv = _parity_grid(mcfg, 0.01)
 
         def fn(site, w, has_l, st):
             q = _vt(
-                pot_quantize_tensor, w, has_l, n_bit=w_bit, q_group_size=g, grid=grid
+                pot_quantize_tensor,
+                w,
+                has_l,
+                n_bit=w_bit,
+                q_group_size=g,
+                grid_values=gv,
             )
             return {"w": q}
 
     elif method == "apot":
-        grid = _grid(mcfg, 0.05)
         k = int(mcfg.get("k", 2))
 
         def fn(site, w, has_l, st):
+            # reference grid coarsens per SITE by element count
+            gv = _parity_grid(mcfg, 0.05, w.shape[-2] * w.shape[-1])
             q = _vt(
                 apot_quantize_tensor,
                 w,
@@ -166,7 +207,7 @@ def quantize_model(
                 n_bit=w_bit,
                 q_group_size=g,
                 k=k,
-                grid=grid,
+                grid_values=gv,
             )
             return {"w": q}
 
@@ -508,15 +549,21 @@ def pack_model(
         elif method in ("pot", "apot"):
             if w_bit != 4:
                 raise ValueError("codebook packing supports w_bit=4 only")
-            grid = _grid(mcfg, 0.01 if method == "pot" else 0.05)
+            gv = _parity_grid(
+                mcfg,
+                0.01 if method == "pot" else 0.05,
+                None if method == "pot" else w.shape[-2] * w.shape[-1],
+            )
 
             def cb_one(w_kn):
                 if method == "pot":
-                    codes, sc = pot_quantize_codes(w_kn, w_bit, g, grid)
+                    codes, sc = pot_quantize_codes(
+                        w_kn, w_bit, g, grid_values=gv
+                    )
                     cb = _pot_codebook(w_bit)
                 else:
                     codes, sc, cb = apot_quantize_codes(
-                        w_kn, w_bit, g, int(mcfg.get("k", 2)), grid
+                        w_kn, w_bit, g, int(mcfg.get("k", 2)), grid_values=gv
                     )
                 from qtpu.core.packing import pack_int4
 

@@ -24,6 +24,49 @@ import numpy as np
 _TINY = float(np.finfo(np.float32).tiny)
 
 
+def _sse_df(d, axis):
+    """Near-exact sum of the float32 SQUARES of d over `axis` in
+    double-float form: returns (hi, lo) with hi + lo ≈ the exact sum of
+    float32(d·d) (two-sum compensated halving tree, ~2⁻⁴⁸ relative).
+
+    Why: the scale search picks argmin over SSE candidates whose true sums
+    can differ by less than one f32 ulp; a plain f32 reduction collapses
+    such pairs to an exact tie and the keep-first rule then diverges from
+    the reference, flipping a whole group's scale (measured: 2 groups per
+    tiny model = 0.31 ppl crosscheck gap). Comparing (hi, lo)
+    lexicographically resolves ties the way the exact sum does — which
+    matches the reference's pairwise f32 sums wherever those are accurate
+    enough to see the difference."""
+    hi = (d * d).astype(jnp.float32)
+    lo = jnp.zeros_like(hi)
+    while hi.shape[axis] > 1:
+        n = hi.shape[axis]
+        half = n // 2
+        a_h = jax.lax.slice_in_dim(hi, 0, half, axis=axis)
+        b_h = jax.lax.slice_in_dim(hi, half, 2 * half, axis=axis)
+        a_l = jax.lax.slice_in_dim(lo, 0, half, axis=axis)
+        b_l = jax.lax.slice_in_dim(lo, half, 2 * half, axis=axis)
+        s = a_h + b_h
+        t = s - a_h
+        e = (a_h - (s - t)) + (b_h - t)  # two-sum rounding error
+        l2 = a_l + b_l + e
+        if n % 2:
+            s = jnp.concatenate(
+                [s, jax.lax.slice_in_dim(hi, n - 1, n, axis=axis)], axis=axis
+            )
+            l2 = jnp.concatenate(
+                [l2, jax.lax.slice_in_dim(lo, n - 1, n, axis=axis)],
+                axis=axis,
+            )
+        hi, lo = s, l2
+    return hi, lo
+
+
+def _df_less(ah, al, bh, bl):
+    return (ah < bh) | ((ah == bh) & (al < bl))
+
+
+
 def _pot_reconstruct(w, s, e_max_idx):
     """w_q = s * sign(w) * 2^clamp(round(log2(|w|/s)), 0, e_max_idx)."""
     ratio = jnp.clip(jnp.abs(w) / s, 1e-10, None)
@@ -74,18 +117,24 @@ def pot_quantize_tensor(
         candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
     def scan_step(carry, c):
-        best_err, best_scale = carry
+        bh, bl, best_scale = carry
         s_c = jnp.clip(s0 * c, _TINY, None)
         w_q = _pot_reconstruct(w, s_c, e_max_idx)
-        err = jnp.sum((w - w_q) ** 2, axis=1, keepdims=True)
-        take = err < best_err
+        eh, el = _sse_df(w - w_q, 1)
+        take = _df_less(eh, el, bh, bl)
         return (
-            jnp.where(take, err, best_err),
+            jnp.where(take, eh, bh),
+            jnp.where(take, el, bl),
             jnp.where(take, s_c, best_scale),
         ), None
 
-    init = (jnp.full((w.shape[0], 1), jnp.inf, jnp.float32), s0)
-    (_, best_scale), _ = jax.lax.scan(scan_step, init, candidates)
+    shp = (w.shape[0], 1)
+    init = (
+        jnp.full(shp, jnp.inf, jnp.float32),
+        jnp.zeros(shp, jnp.float32),
+        s0,
+    )
+    (_, _, best_scale), _ = jax.lax.scan(scan_step, init, candidates)
 
     best_scale = jnp.clip(best_scale, _TINY, None)
     w_q = _pot_reconstruct(w, best_scale, e_max_idx)
@@ -135,18 +184,24 @@ def pot_quantize_codes(
         candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
     def scan_step(carry, c):
-        best_err, best_scale = carry
+        bh, bl, best_scale = carry
         s_c = jnp.clip(s0 * c, _TINY, None)
         w_q = _pot_reconstruct(w, s_c, e_max_idx)
-        err = jnp.sum((w - w_q) ** 2, axis=1, keepdims=True)
-        take = err < best_err
+        eh, el = _sse_df(w - w_q, 1)
+        take = _df_less(eh, el, bh, bl)
         return (
-            jnp.where(take, err, best_err),
+            jnp.where(take, eh, bh),
+            jnp.where(take, el, bl),
             jnp.where(take, s_c, best_scale),
         ), None
 
-    init = (jnp.full((K // g, 1, N), jnp.inf, jnp.float32), s0)
-    (_, s), _ = jax.lax.scan(scan_step, init, candidates)
+    shp = (K // g, 1, N)
+    init = (
+        jnp.full(shp, jnp.inf, jnp.float32),
+        jnp.zeros(shp, jnp.float32),
+        s0,
+    )
+    (_, _, s), _ = jax.lax.scan(scan_step, init, candidates)
     s = jnp.clip(s, _TINY, None)
 
     ratio = jnp.clip(jnp.abs(w) / s, 1e-10, None)

@@ -35,44 +35,76 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from qtpu.models import get_arch
 
 
-def make_pipe_mesh(pipe: int, data: int = 1, devices=None) -> Mesh:
-    """('data', 'pipe') mesh: batch-of-microbatch streams × stages."""
+def make_pipe_mesh(pipe: int, data: int = 1, model: int = 1, devices=None) -> Mesh:
+    """('data', 'pipe'[, 'model']) mesh: batch-of-microbatch streams ×
+    stages × (optional) Megatron tensor-parallel shards within each stage.
+    `model` is the innermost axis so TP collectives ride the
+    fastest-adjacent ICI links."""
     import numpy as np
 
     devices = devices if devices is not None else jax.devices()
-    if data * pipe > len(devices):
+    n = data * pipe * model
+    if n > len(devices):
         raise ValueError(
-            f"mesh {data}x{pipe} needs {data * pipe} devices, "
+            f"mesh {data}x{pipe}x{model} needs {n} devices, "
             f"have {len(devices)}"
         )
-    arr = np.asarray(devices[: data * pipe]).reshape(data, pipe)
+    if model > 1:
+        arr = np.asarray(devices[:n]).reshape(data, pipe, model)
+        return Mesh(arr, ("data", "pipe", "model"))
+    arr = np.asarray(devices[:n]).reshape(data, pipe)
     return Mesh(arr, ("data", "pipe"))
 
 
-def shard_params_pipeline(params: dict, mesh: Mesh) -> dict:
+def shard_params_pipeline(params: dict, mesh: Mesh, arch: str = "llama") -> dict:
     """Place params for pipeline parallelism: every [L, ...] layer leaf
-    shards axis 0 over `pipe`; embed/head/final norms replicate."""
-    def spec_of(path_is_layer, leaf):
-        if path_is_layer:
-            return P("pipe", *((None,) * (leaf.ndim - 1)))
-        return P(*((None,) * leaf.ndim))
+    shards axis 0 over `pipe`; embed/head/final norms replicate. On a
+    3-axis ('data','pipe','model') mesh each leaf ADDITIONALLY carries its
+    Megatron TP sharding (qtpu.sharding.specs.param_specs) on the
+    non-layer dims — stage-local matmuls then shard over `model` via
+    GSPMD while the schedule moves activations over `pipe`."""
+    has_tp = "model" in mesh.axis_names
+    if has_tp:
+        from qtpu.sharding.specs import param_specs
+
+        tp_specs = param_specs(params, arch=arch)
+
+        def overlay(spec, is_layer):
+            # replace the leading (layer-axis) None with 'pipe'
+            if not is_layer:
+                return spec
+            return P("pipe", *tuple(spec)[1:])
 
     out = {}
     for name, val in params.items():
-        if name == "layers":
-            out[name] = jax.tree_util.tree_map(
-                lambda a: jax.device_put(
-                    a, NamedSharding(mesh, spec_of(True, a))
-                ),
-                val,
+        is_layer = name == "layers"
+        if has_tp:
+            specs = (
+                jax.tree_util.tree_map(
+                    lambda s: overlay(s, is_layer),
+                    tp_specs[name],
+                    is_leaf=lambda s: isinstance(s, P),
+                )
+                if name in tp_specs
+                else jax.tree_util.tree_map(
+                    lambda a: P(*((None,) * a.ndim)), val
+                )
             )
-        else:
             out[name] = jax.tree_util.tree_map(
-                lambda a: jax.device_put(
-                    a, NamedSharding(mesh, spec_of(False, a))
-                ),
+                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
                 val,
+                specs,
             )
+            continue
+        spec_of = (
+            (lambda a: P("pipe", *((None,) * (a.ndim - 1))))
+            if is_layer
+            else (lambda a: P(*((None,) * a.ndim)))
+        )
+        out[name] = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, spec_of(a))),
+            val,
+        )
     return out
 
 
@@ -188,6 +220,12 @@ def pipeline_nll(params, batches, cfg, mesh, n_stages: int, qmeta=None,
     layer_specs = jax.tree_util.tree_map(
         lambda a: P("pipe", *((None,) * (a.ndim - 1))), params["layers"]
     )
+    kw = {}
+    if "model" in mesh.axis_names:
+        # manual only over the schedule axes; `model` stays a GSPMD auto
+        # axis, so the stage-local matmuls keep their Megatron shardings
+        # and XLA inserts the TP collectives inside each tick
+        kw["axis_names"] = frozenset({"data", "pipe"})
     try:  # jax ≥ 0.8 names the replication check check_vma
         fn = shard_map(
             pipelined,
@@ -195,6 +233,7 @@ def pipeline_nll(params, batches, cfg, mesh, n_stages: int, qmeta=None,
             in_specs=(layer_specs, P(*((None,) * 3))),
             out_specs=P(),
             check_vma=False,
+            **kw,
         )
     except TypeError:
         fn = shard_map(
@@ -203,5 +242,6 @@ def pipeline_nll(params, batches, cfg, mesh, n_stages: int, qmeta=None,
             in_specs=(layer_specs, P(*((None,) * 3))),
             out_specs=P(),
             check_rep=False,
+            **kw,
         )
     return fn(params["layers"], batches)

@@ -497,3 +497,78 @@ def test_pallas_stacked_norm_resid_fusion():
             norm_w=nw, resid=resid, eps=1e-5, interpret=True,
         )
         _assert_close(fused, resid.astype(jnp.float32) + base.astype(jnp.float32))
+
+
+def test_pallas_layer_boundary_matches_composed():
+    """The layer-boundary megakernel (o-proj + residual + mlp_norm + SwiGLU
+    MLP + residual + next attn_norm + next qkv in ONE launch) == the
+    composed dequantize/norm/matmul chain, to bf16-activation rounding."""
+    import jax
+
+    from qtpu.core.packing import QuantizedTensor, dequantize, quantize_pack
+    from qtpu.kernels.pallas_layer_boundary import (
+        pallas_layer_boundary_stacked,
+    )
+
+    L, M, D, F, Q, KV, g = 3, 8, 256, 512, 256, 128, 128
+    Nq = Q + 2 * KV
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+
+    def mk(k, *sh):
+        return jax.random.normal(k, sh, jnp.bfloat16) * 0.05
+
+    wo, wgu = mk(ks[0], L, Q, D), mk(ks[1], L, D, 2 * F)
+    wd, wq = mk(ks[2], L, F, D), mk(ks[3], L, D, Nq)
+    attn, x = mk(ks[4], M, Q), mk(ks[5], M, D)
+    mn = jnp.abs(mk(ks[6], L, D)) + 0.5
+    an = jnp.abs(mk(ks[7], L, D)) + 0.5
+
+    def pk(w):
+        qt = jax.vmap(lambda a: quantize_pack(a, 4, g))(w)
+        return qt.data, qt.scales, qt.zeros
+
+    od, osc, oz = pk(wo)
+    gd, gs, gz = pk(wgu)
+    dd, ds, dz = pk(wd)
+    qd, qs, qz = pk(wq)
+    metas = ((4, g, Q, D), (4, g, D, 2 * F), (4, g, F, D), (4, g, D, Nq))
+
+    l, ln = 1, 2
+    y2, qkv = pallas_layer_boundary_stacked(
+        attn, x, mn, an, od, osc, oz, gd, gs, gz, dd, ds, dz, qd, qs, qz,
+        *metas, l, ln, eps=1e-5, interpret=True,
+    )
+
+    def dq(data, sc, z, li, shape):
+        return dequantize(
+            QuantizedTensor(data[li], sc[li], z[li], 4, g, shape), jnp.float32
+        )
+
+    def rms(v, w):
+        vf = v.astype(jnp.float32)
+        return (
+            vf
+            * jax.lax.rsqrt(jnp.mean(vf * vf, -1, keepdims=True) + 1e-5)
+            * w.astype(jnp.float32)
+        )
+
+    y = x.astype(jnp.float32) + attn.astype(jnp.float32) @ dq(
+        od, osc, oz, l, (Q, D)
+    )
+    h = rms(y, mn[l]).astype(jnp.bfloat16).astype(jnp.float32)
+    gu = h @ dq(gd, gs, gz, l, (D, 2 * F))
+    gate, up = gu[:, :F], gu[:, F:]
+    act = (
+        (gate * jax.nn.sigmoid(gate)).astype(jnp.bfloat16)
+        * up.astype(jnp.bfloat16)
+    ).astype(jnp.float32)
+    y2_ref = y + act @ dq(dd, ds, dz, l, (F, D))
+    h2 = rms(y2_ref, an[ln]).astype(jnp.bfloat16).astype(jnp.float32)
+    qkv_ref = h2 @ dq(qd, qs, qz, ln, (D, Nq))
+
+    assert (
+        float(jnp.max(jnp.abs(y2.astype(jnp.float32) - y2_ref))) < 5e-3
+    )
+    assert (
+        float(jnp.max(jnp.abs(qkv.astype(jnp.float32) - qkv_ref))) < 2e-2
+    )

@@ -131,6 +131,24 @@ def run_reference(model, calib, test, w_bit: int):
     apot_quantize_model_weight(m, w_bit, GROUP, k=2)
     out["apot"] = ppl(m)
 
+    # SmoothQuant: act scales collected on the RAW model (as the reference
+    # orchestrator does, benchmark_runner.py:603-617); smooth_weights'
+    # forward pre-hook keeps the eval numerically equivalent. α=0.85 is
+    # the reference's own published-blow-up configuration
+    # (benchmark_results.json:75, ppl 54.13 vs 12.09 raw at W8).
+    from smooth_quant_quantizer import (
+        collect_act_scales,
+        smoothquant_quantize_model_weight,
+    )
+
+    for alpha, name in ((0.5, "smoothquant"), (0.85, "smoothquant_a085")):
+        m = copy.deepcopy(model)
+        act_scales = collect_act_scales(m, calib_t, verbose=False)
+        smoothquant_quantize_model_weight(
+            m, w_bit, GROUP, act_scales, alpha=alpha, verbose=False
+        )
+        out[name] = ppl(m)
+
     # RTN = the reference's pseudo_quantize_tensor applied to every linear
     # (its GPTQ fallback path, gptq_quantizer._simple_quantize_layer)
     import torch.nn as nn
@@ -159,7 +177,9 @@ def run_qtpu(ckpt_dir: str, fixture_dir: str, w_bit: int):
         "model_name": "crosscheck-tiny",
         "checkpoint_path": ckpt_dir,
         "dtype": "float32",
-        "quantization_methods": ["rtn", "awq", "gptq", "pot", "apot"],
+        "quantization_methods": [
+            "rtn", "awq", "gptq", "pot", "apot", "smoothquant"
+        ],
         "calibration_dataset": ds,
         "calibration_dataset_config": None,
         "calibration_split": "train",
@@ -181,20 +201,35 @@ def run_qtpu(ckpt_dir: str, fixture_dir: str, w_bit: int):
                      "actorder": False, "error_compensation": False},
             "pot": {"w_bit": w_bit, "q_group_size": GROUP},
             "apot": {"w_bit": w_bit, "q_group_size": GROUP, "k": 2},
+            "smoothquant": {
+                "w_bit": w_bit, "q_group_size": GROUP, "alpha": 0.5
+            },
         },
         "verbose": False,
     }
-    bench = QuantizationBenchmark(config)
-    bench.run_all_benchmarks()
-    out = {}
-    for name, r in bench.results.items():
-        if r.error:
-            out[name] = {"error": r.error}
-        else:
-            out[name] = {
-                "perplexity": r.perplexity,
-                "packed_perplexity": r.packed_perplexity,
-            }
+
+    def collect(cfg):
+        bench = QuantizationBenchmark(cfg)
+        bench.run_all_benchmarks()
+        res = {}
+        for name, r in bench.results.items():
+            if r.error:
+                res[name] = {"error": r.error}
+            else:
+                res[name] = {
+                    "perplexity": r.perplexity,
+                    "packed_perplexity": r.packed_perplexity,
+                }
+        return res
+
+    out = collect(config)
+    # second pass: the reference's published blow-up config (alpha=0.85)
+    cfg85 = dict(config)
+    cfg85["quantization_methods"] = ["smoothquant"]
+    cfg85["quantization_config"] = {
+        "smoothquant": {"w_bit": w_bit, "q_group_size": GROUP, "alpha": 0.85}
+    }
+    out["smoothquant_a085"] = collect(cfg85)["smoothquant"]
     return out
 
 
@@ -232,7 +267,11 @@ def main():
     )
     raw_ref = ref["raw"]
     raw_qt = qt["raw"]["perplexity"]
-    for m in ("raw", "rtn", "awq", "gptq", "pot", "apot"):
+    methods = (
+        "raw", "rtn", "awq", "gptq", "pot", "apot",
+        "smoothquant", "smoothquant_a085",
+    )
+    for m in methods:
         r, q = ref.get(m), qt.get(m, {})
         qp = q.get("perplexity", float("nan"))
         pp = q.get("packed_perplexity")
