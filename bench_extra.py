@@ -29,7 +29,7 @@ from qtpu.bench.synth import tiled_packed_llama as _tiled_packed_model  # noqa: 
 
 
 def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large, block=25,
-               arch="llama", cache_pad=0):
+               arch="llama", cache_pad=0, per_layer=False):
     """Tokens/s through the serving decode path: decode_multi blocks (one
     compiled lax.scan per `block` steps, one host dispatch per block —
     exactly what the continuous batcher drives).
@@ -53,9 +53,12 @@ def decode_tps(packed, qmeta, cfg, B, P, n_small, n_large, block=25,
     start = jnp.full((B,), cache_pad, jnp.int32) if cache_pad else None
 
     def run(n_blocks):
-        cache = init_cache(
-            cfg, B, cache_pad + P + n_large * block + 8, quantized=True
-        )
+        S = cache_pad + P + n_large * block + 8
+        if per_layer:
+            # the flash decode kernel (long-context per-layer path) blocks
+            # the cache S axis in 2048-row tiles
+            S += (-S) % 2048
+        cache = init_cache(cfg, B, S, quantized=True, per_layer=per_layer)
         t0 = time.perf_counter()
         logits, cache = prefill(
             packed, prompt, cache, cfg, qmeta, start=start, arch=arch
@@ -159,10 +162,12 @@ def main():
     # every step (per kv head: 2·S·hd ≈ 2 MB int8 k+v) — the regime where
     # the KV stream rivals the weight stream
     if not have("tinyllama_w4_decode_tokens_per_s_s16k_cache"):
+        # per-layer cache + the in-place banded kernel: at S=16k the old
+        # scan-ys full-tile write-back dominated (~11% of the KV roofline)
         out["tinyllama_w4_decode_tokens_per_s_s16k_cache"] = round(
             decode_tps(
                 packed, qmeta, cfg, B=4, P=128, cache_pad=16384 - 384,
-                n_small=1, n_large=5,
+                n_small=1, n_large=5, per_layer=True,
             ),
             1,
         )

@@ -32,13 +32,27 @@ def quantize_activations(x: jnp.ndarray):
     return x_q.astype(jnp.int8), sx
 
 
-@partial(jax.jit, static_argnames=("meta",))
 def w8a8_matmul(x, data, scales, zeros, meta):
     """y = dequant((quant(x) @ w_q)) for per-channel int8 weights.
 
     data: int8 [K, N] (biased −128 storage, qtpu.core.packing w8 layout
     with group_size == K); scales [1, N]; zeros [1, N] uint8.
-    """
+
+    On TPU dispatches to the single-launch Pallas kernel (in-kernel act
+    quant + int8×int8→int32 MXU dots); elsewhere / untiled shapes run the
+    XLA reference below."""
+    if jax.default_backend() == "tpu":
+        try:
+            from qtpu.kernels.pallas_int8_matmul import pallas_w8a8_matmul
+
+            return pallas_w8a8_matmul(x, data, scales, zeros, meta)
+        except NotImplementedError:
+            pass
+    return _w8a8_matmul_ref(x, data, scales, zeros, meta)
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def _w8a8_matmul_ref(x, data, scales, zeros, meta):
     bits, group_size, K, N = meta
     if bits != 8 or group_size != K:
         raise ValueError("w8a8 path needs per-channel (group=K) int8 weights")

@@ -184,11 +184,12 @@ def _choose_blocks(M, K, N):
     bm = next((b for b in (256, 128, 64, 32, 16, 8) if M % b == 0), M)
     while bm * K * 2 > 4 * 1024 * 1024 and bm > 8:
         bm //= 2
-    # bn=512 measured best end-to-end; wider tiles (QTPU_BN_MAX=2048) were
-    # slower at decode shapes on v5e — keep the knob for other hardware
+    # bn=1024 measured best (r4): isolated stacked gateup call 23.4 vs
+    # 25.7 us at bn=512, full decode step 2.182 vs 2.216 ms; 2048 is
+    # slightly worse again. QTPU_BN_MAX overrides for other hardware.
     import os
 
-    wide = int(os.environ.get("QTPU_BN_MAX", "512"))
+    wide = int(os.environ.get("QTPU_BN_MAX", "1024"))
     cands = [b for b in (2048, 1024, 512, 256, 128) if b <= wide]
     bn = next((b for b in cands if N % b == 0), N)
     while K * bn > 8 * 1024 * 1024 and bn > 128:

@@ -434,3 +434,421 @@ def pallas_decode_attention(
         vs_c.reshape(B, KV // kb, kb, S),
     )
     return out.reshape(B, H, hd)
+
+
+def _decode_attn_banded_kernel(
+    pos_ref,
+    q_ref, kn_ref, vn_ref,
+    k_ref, v_ref, ks_ref, vs_ref,
+    kb_ref, vb_ref, ksb_ref, vsb_ref,
+    o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+    *, kb, window, SB,
+):
+    """In-place decode attention: read the full [S, hd] int8 cache tiles,
+    write back ONLY the 8-row band holding this step's token (the cache
+    buffers are input/output-aliased; untouched bands keep their data).
+
+    The new token never gets blended into the [S, hd] tile: its score is
+    a separate [G, 1] column folded into the softmax, and its value a
+    rank-1 update after the pv dot — two full-tile selects fewer than the
+    blend kernel, and output traffic drops from S rows to 8 (at S = 16k
+    that is ~2000× less write traffic; the read is the roofline). The
+    bands arrive as separate pos-indexed input blocks (kb_ref/…): Mosaic
+    cannot prove in-kernel dynamic lane/sublane offsets aligned, but
+    BlockSpec index maps may be arbitrary scalar functions.
+
+    One sequence per program (the band's position differs per sequence, so
+    `bb` > 1 cannot share an output block); `kb` heads amortize the grid.
+    Inactive rows (pos ≥ S) write their band back unchanged."""
+    S = k_ref.shape[2]
+    G, hd = q_ref.shape[2], q_ref.shape[3]
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    active = pos < S
+    band = jnp.clip(pos, 0, S - 1) // 8 * 8
+    sband = jnp.clip(pos, 0, S - 1) // SB * SB
+    in_band = jax.lax.broadcasted_iota(jnp.int32, (8, hd), 0) == pos - band
+    in_sband = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)[0] == pos - sband
+    )
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    # strictly-before mask: the stored row at `pos` is stale; the new
+    # token rides its own score column below
+    valid = s_idx < pos
+    if window > 0:
+        valid &= s_idx > pos - window
+    for j in range(kb):
+        kn = kn_ref[0, j, 0].astype(jnp.float32)  # [hd]
+        vn = vn_ref[0, j, 0].astype(jnp.float32)
+        k_sc = jnp.clip(jnp.max(jnp.abs(kn)) / 127.0, 1e-8, None)
+        v_sc = jnp.clip(jnp.max(jnp.abs(vn)) / 127.0, 1e-8, None)
+        kq = jnp.clip(jnp.round(kn / k_sc), -127, 127)
+        vq = jnp.clip(jnp.round(vn / v_sc), -127, 127)
+
+        # band write-back (8 cache rows, SB scale lanes)
+        wr = jnp.logical_and(in_band, active)
+        ko_ref[0, j] = jnp.where(wr, kq.astype(jnp.int8)[None, :], kb_ref[0, j])
+        vo_ref[0, j] = jnp.where(wr, vq.astype(jnp.int8)[None, :], vb_ref[0, j])
+        wr_s = jnp.logical_and(in_sband, active)
+        kso_ref[0, j] = jnp.where(
+            wr_s, k_sc, ksb_ref[0, j].astype(jnp.float32)
+        )
+        vso_ref[0, j] = jnp.where(
+            wr_s, v_sc, vsb_ref[0, j].astype(jnp.float32)
+        )
+
+        q = q_ref[0, j]  # [G, hd] bf16
+        ks = ks_ref[0, j].astype(jnp.float32)  # [S]
+        scores = jax.lax.dot_general(
+            q, k_ref[0, j].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, S]
+        inv_sqrt = 1.0 / float(hd) ** 0.5
+        scores = scores * ks[None, :] * inv_sqrt
+        scores = jnp.where(valid, scores, -1e30)
+        # the new token's own score column (always attended when active)
+        s_new = (
+            jnp.sum(q.astype(jnp.float32) * kn[None, :], axis=1, keepdims=True)
+            * inv_sqrt
+        )  # [G, 1]
+        s_new = jnp.where(active, s_new, -1e30)
+
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_new)
+        e = jnp.exp(scores - m)
+        e_new = jnp.exp(s_new - m)  # [G, 1]
+        denom = jnp.sum(e, axis=-1, keepdims=True) + e_new
+        p = e / denom
+        vs = vs_ref[0, j].astype(jnp.float32)
+        pv = (p * vs[None, :]).astype(jnp.bfloat16)
+        out = jnp.dot(
+            pv, v_ref[0, j].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        out = out + (e_new / denom) * vn[None, :]
+        o_ref[0, j] = out.astype(o_ref.dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("window", "interpret"),
+    donate_argnums=(3, 4, 5, 6),
+)
+def pallas_decode_attention_write_banded(
+    q, k_new, v_new, k_c, v_c, ks_c, vs_c, pos, window: int = 0,
+    interpret=False,
+):
+    """Fused quantize-write + int8-cache attention with IN-PLACE banded
+    cache updates: the cache buffers are input/output-aliased and only the
+    8-row band holding `pos` is written back — read-once/write-8-rows
+    traffic instead of read-once/write-S-rows. The format of choice for
+    per-layer cache buffers (no scan ys) and long contexts.
+
+    Same contract as pallas_decode_attention_write."""
+    B, H, hd = q.shape
+    KV, S = k_c.shape[1], k_c.shape[2]
+    if H % KV or S % 8 or hd % 8:
+        raise NotImplementedError("decode attention needs H%KV==0, S%8==0")
+    SB = 128 if S % 128 == 0 else S  # scale-lane band width
+    G = H // KV
+    q4 = q.reshape(B, KV, G, hd)
+    kn = jnp.swapaxes(k_new, 1, 2)  # [B, KV, 1, hd]
+    vn = jnp.swapaxes(v_new, 1, 2)
+
+    kb = max(
+        1, min(KV, (5 * 1024 * 1024) // max(2 * S * hd + 2 * S * 4, 1), 32)
+    )
+    while KV % kb:
+        kb -= 1
+
+    def ix(b, h, pos):
+        return (b, h, 0, 0)
+
+    def ix_band(b, h, pos):
+        return (b, h, jnp.clip(pos[b], 0, S - 1) // 8, 0)
+
+    def ix_sband(b, h, pos):
+        return (b, 0, h, jnp.clip(pos[b], 0, S - 1) // SB)
+
+    def ix_s(b, h, pos):
+        return (b, 0, h, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KV // kb),
+        in_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((1, kb, S, hd), ix),
+            pl.BlockSpec((1, None, kb, S), ix_s),
+            pl.BlockSpec((1, None, kb, S), ix_s),
+            # the pos-band of each cache array, delivered as inputs so the
+            # kernel never needs a dynamic in-kernel slice
+            pl.BlockSpec((1, kb, 8, hd), ix_band),
+            pl.BlockSpec((1, kb, 8, hd), ix_band),
+            pl.BlockSpec((1, None, kb, SB), ix_sband),
+            pl.BlockSpec((1, None, kb, SB), ix_sband),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((1, kb, 8, hd), ix_band),
+            pl.BlockSpec((1, kb, 8, hd), ix_band),
+            pl.BlockSpec((1, None, kb, SB), ix_sband),
+            pl.BlockSpec((1, None, kb, SB), ix_sband),
+        ],
+    )
+    ks4 = ks_c.reshape(B, KV // kb, kb, S)
+    vs4 = vs_c.reshape(B, KV // kb, kb, S)
+    out, k_o, v_o, ks_o, vs_o = pl.pallas_call(
+        partial(
+            _decode_attn_banded_kernel, kb=kb, window=int(window), SB=SB
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+            jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
+            jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
+            jax.ShapeDtypeStruct((B, KV // kb, kb, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV // kb, kb, S), jnp.float32),
+        ],
+        # in-place: cache inputs alias the banded outputs (flat input
+        # indices count the scalar-prefetch operand at 0)
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        interpret=interpret,
+    )(
+        pos.astype(jnp.int32),
+        q4,
+        kn,
+        vn,
+        k_c,
+        v_c,
+        ks4,
+        vs4,
+        k_c,
+        v_c,
+        ks4,
+        vs4,
+    )
+    return (
+        out.reshape(B, H, hd),
+        k_o,
+        v_o,
+        ks_o.reshape(B, KV, S),
+        vs_o.reshape(B, KV, S),
+    )
+
+
+def _decode_attn_flash_kernel(
+    pos_ref,
+    q_ref, kn_ref, vn_ref,
+    k_ref, v_ref, ks_ref, vs_ref,
+    o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+    acc_scr, m_scr, l_scr,
+    *, kb, window, SBLK, NS,
+):
+    """S-BLOCKED decode attention with online softmax + in-place banded
+    cache write — the long-context decode kernel.
+
+    Grid (B, S/SBLK): each program streams one [kb·SBLK, hd] slice of the
+    int8 cache and folds it into running (max, sum, acc) scratches
+    (flash-attention online rescale); the final S step adds the new
+    token's score column and writes the [G, hd] output. The 8-row band
+    holding `pos` is written back in place during the S step that owns it
+    (cache buffers input/output-aliased; aliasing stalls cost nothing here
+    because each program's write is 8 rows against an SBLK-row read).
+    VMEM stays ~2·kb·SBLK·hd bytes regardless of S — no 16 MB cliff at
+    long context."""
+    S_total = NS * SBLK
+    G, hd = q_ref.shape[2], q_ref.shape[3]
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    pos = pos_ref[b]
+    active = pos < S_total
+    s0 = s * SBLK
+    inv_sqrt = 1.0 / float(hd) ** 0.5
+
+    @pl.when(s == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    owns_band = jnp.clip(pos, 0, S_total - 1) // SBLK == s
+    # row/lane hits of `pos` within THIS S block (write = full-block blend
+    # in the owning block only — no dynamic in-kernel slicing, and write
+    # traffic is one SBLK block instead of all NS of them)
+    in_band = (
+        jax.lax.broadcasted_iota(jnp.int32, (SBLK, hd), 0) == pos - s0
+    )
+    in_sband = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, SBLK), 1)[0] == pos - s0
+    )
+
+    s_idx = s0 + jax.lax.broadcasted_iota(jnp.int32, (G, SBLK), 1)
+    valid = s_idx < pos
+    if window > 0:
+        valid &= s_idx > pos - window
+
+    for j in range(kb):
+        kn = kn_ref[0, j, 0].astype(jnp.float32)  # [hd]
+        vn = vn_ref[0, j, 0].astype(jnp.float32)
+        k_sc = jnp.clip(jnp.max(jnp.abs(kn)) / 127.0, 1e-8, None)
+        v_sc = jnp.clip(jnp.max(jnp.abs(vn)) / 127.0, 1e-8, None)
+        kq = jnp.clip(jnp.round(kn / k_sc), -127, 127)
+        vq = jnp.clip(jnp.round(vn / v_sc), -127, 127)
+
+        @pl.when(owns_band)
+        def _write_band(j=j, kq=kq, vq=vq, k_sc=k_sc, v_sc=v_sc):
+            wr = jnp.logical_and(in_band, active)
+            ko_ref[0, j] = jnp.where(
+                wr, kq.astype(jnp.int8)[None, :], k_ref[0, j]
+            )
+            vo_ref[0, j] = jnp.where(
+                wr, vq.astype(jnp.int8)[None, :], v_ref[0, j]
+            )
+            wr_s = jnp.logical_and(in_sband, active)
+            kso_ref[0, j] = jnp.where(
+                wr_s, k_sc, ks_ref[0, j].astype(jnp.float32)
+            )
+            vso_ref[0, j] = jnp.where(
+                wr_s, v_sc, vs_ref[0, j].astype(jnp.float32)
+            )
+
+        q = q_ref[0, j]  # [G, hd] bf16
+        ks = ks_ref[0, j].astype(jnp.float32)  # [SBLK]
+        scores = jax.lax.dot_general(
+            q, k_ref[0, j].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, SBLK]
+        scores = scores * ks[None, :] * inv_sqrt
+        scores = jnp.where(valid, scores, -1e30)
+
+        m_prev = m_scr[j]  # [G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        vs = vs_ref[0, j].astype(jnp.float32)
+        pv = (e * vs[None, :]).astype(jnp.bfloat16)
+        part = jnp.dot(
+            pv, v_ref[0, j].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # [G, hd]
+        acc_scr[j] = acc_scr[j] * alpha + part
+        l_scr[j] = l_scr[j] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        m_scr[j] = m_new
+
+        @pl.when(s == NS - 1)
+        def _final(j=j, kn=kn, vn=vn, q=q):
+            s_new = (
+                jnp.sum(
+                    q.astype(jnp.float32) * kn[None, :], axis=1, keepdims=True
+                )
+                * inv_sqrt
+            )
+            s_new = jnp.where(active, s_new, -1e30)
+            m_prev = m_scr[j]
+            m_fin = jnp.maximum(m_prev, s_new)
+            alpha = jnp.exp(m_prev - m_fin)
+            e_new = jnp.exp(s_new - m_fin)
+            acc = acc_scr[j] * alpha + e_new * vn[None, :]
+            l = l_scr[j] * alpha + e_new
+            o_ref[0, j] = (acc / l).astype(o_ref.dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("window", "interpret"),
+    donate_argnums=(3, 4, 5, 6),
+)
+def pallas_decode_attention_flash(
+    q, k_new, v_new, k_c, v_c, ks_c, vs_c, pos, window: int = 0,
+    interpret=False,
+):
+    """S-blocked online-softmax decode attention + in-place banded write.
+    Same contract as pallas_decode_attention_write; the long-context
+    configuration (VMEM independent of S)."""
+    B, H, hd = q.shape
+    KV, S = k_c.shape[1], k_c.shape[2]
+    if H % KV or hd % 8:
+        raise NotImplementedError("decode attention needs H % KV == 0")
+    SBLK = 2048
+    if S % SBLK:
+        raise NotImplementedError("flash decode needs S % 2048 == 0")
+    NS = S // SBLK
+    G = H // KV
+    q4 = q.reshape(B, KV, G, hd)
+    kn = jnp.swapaxes(k_new, 1, 2)
+    vn = jnp.swapaxes(v_new, 1, 2)
+    kb = KV  # all heads per program; S is the streamed axis
+
+    def ix(b, s, pos):
+        return (b, 0, 0, 0)
+
+    def ix_blk(b, s, pos):
+        return (b, 0, s, 0)
+
+    def ix_own(b, s, pos):
+        return (b, 0, jnp.clip(pos[b], 0, S - 1) // SBLK, 0)
+
+    def ix_sblk(b, s, pos):
+        return (b, 0, 0, s)
+
+    def ix_sband(b, s, pos):
+        return (b, 0, 0, jnp.clip(pos[b], 0, S - 1) // SBLK)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NS),
+        in_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((1, kb, SBLK, hd), ix_blk),
+            pl.BlockSpec((1, kb, SBLK, hd), ix_blk),
+            pl.BlockSpec((1, None, kb, SBLK), ix_sblk),
+            pl.BlockSpec((1, None, kb, SBLK), ix_sblk),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((1, kb, SBLK, hd), ix_own),
+            pl.BlockSpec((1, kb, SBLK, hd), ix_own),
+            pl.BlockSpec((1, None, kb, SBLK), ix_sband),
+            pl.BlockSpec((1, None, kb, SBLK), ix_sband),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kb, G, hd), jnp.float32),
+            pltpu.VMEM((kb, G, 1), jnp.float32),
+            pltpu.VMEM((kb, G, 1), jnp.float32),
+        ],
+    )
+    ks4 = ks_c.reshape(B, KV // kb, kb, S)
+    vs4 = vs_c.reshape(B, KV // kb, kb, S)
+    out, k_o, v_o, ks_o, vs_o = pl.pallas_call(
+        partial(
+            _decode_attn_flash_kernel,
+            kb=kb, window=int(window), SBLK=SBLK, NS=NS,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+            jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
+            jax.ShapeDtypeStruct((B, KV, S, hd), jnp.int8),
+            jax.ShapeDtypeStruct((B, KV // kb, kb, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV // kb, kb, S), jnp.float32),
+        ],
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        pos.astype(jnp.int32), q4, kn, vn, k_c, v_c, ks4, vs4
+    )
+    return (
+        out.reshape(B, H, hd),
+        k_o,
+        v_o,
+        ks_o.reshape(B, KV, S),
+        vs_o.reshape(B, KV, S),
+    )

@@ -289,14 +289,20 @@ def _cached_attention(q, layer_kv, mask, cfg: ModelConfig, pos=None):
     return out.reshape(B, T, H * hd)
 
 
-def _write_and_attend(q, k, v, layer_kv, start, mask, cfg: ModelConfig):
+def _write_and_attend(
+    q, k, v, layer_kv, start, mask, cfg: ModelConfig, in_place: bool = False
+):
     """KV-cache write + attention for one layer. Decode (T = 1, int8
     cache, TPU) fuses both into one Pallas pass
     (pallas_decode_attention_write): the separate masked-select write and
     the attention kernel each stream the whole [S, hd] cache tile
     (measured ~0.49 + ~0.62 ms/step on v5e at TinyLlama B=8), and the
     fused kernel halves that traffic via input/output-aliased tiles.
-    Other shapes: plain write + _cached_attention."""
+    in_place=True (per-layer cache buffers, no scan ys) uses the BANDED
+    kernel instead: the cache buffers are aliased in place and only the
+    8-row band holding each sequence's position is written back — at long
+    contexts the write traffic drops ~S/8-fold. Other shapes: plain
+    write + _cached_attention."""
     from qtpu.serve.kvcache import cache_layer_write
 
     B, T, H, hd = q.shape
@@ -315,7 +321,17 @@ def _write_and_attend(q, k, v, layer_kv, start, mask, cfg: ModelConfig):
                 if 0 < cfg.sliding_window < k_c.shape[2]
                 else 0
             )
-            if quantized:
+            if quantized and in_place and k_c.shape[2] % 2048 == 0:
+                # long-context per-layer path: S-blocked online-softmax
+                # kernel, cache updated in place (one SBLK block written)
+                from qtpu.kernels.pallas_kv_attention import (
+                    pallas_decode_attention_flash,
+                )
+
+                out, k_c, v_c, ks_c, vs_c = pallas_decode_attention_flash(
+                    q[:, 0], k, v, k_c, v_c, ks_c, vs_c, start, window=win
+                )
+            elif quantized:
                 out, k_c, v_c, ks_c, vs_c = pallas_decode_attention_write(
                     q[:, 0], k, v, k_c, v_c, ks_c, vs_c, start, window=win
                 )
@@ -382,7 +398,8 @@ def _mlp_block(x, layers, l, mlp_norm, cfg: ModelConfig, qm):
 
 
 def _layer_fwd_cached(
-    x, layers, l, norms, layer_kv, start, rope, mask, cfg: ModelConfig, qmeta
+    x, layers, l, norms, layer_kv, start, rope, mask, cfg: ModelConfig,
+    qmeta, cache_in_place: bool = False,
 ):
     """One decoder layer with KV-cache read/write.
 
@@ -409,7 +426,9 @@ def _layer_fwd_cached(
         q, k, v = qkv3
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn, layer_kv = _write_and_attend(q, k, v, layer_kv, start, mask, cfg)
+    attn, layer_kv = _write_and_attend(
+        q, k, v, layer_kv, start, mask, cfg, in_place=cache_in_place
+    )
     x = _o_proj_resid(attn, x, layers, l, qm)
     x = _mlp_block(x, layers, l, mlp_norm, cfg, qm)
     return x, layer_kv
@@ -623,6 +642,7 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
             x, lkv = _layer_fwd_cached(
                 x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
                 cache.layer(l), start, rope, mask, cfg, qmeta_d,
+                cache_in_place=cache.per_layer,
             )
             new_kv.append(lkv)
         if cache.per_layer:

@@ -326,7 +326,8 @@ def forward(
     return logits, layer_stats
 
 
-def _layer_fwd_cached(x, layers, l, norms, layer_kv, start, rope, mask, cfg, qmeta):
+def _layer_fwd_cached(x, layers, l, norms, layer_kv, start, rope, mask, cfg,
+                      qmeta, cache_in_place: bool = False):
     """One decoder layer with KV-cache read/write. Two weight-delivery
     modes, mirroring llama._layer_fwd_cached: l is None → `layers` is this
     layer's sliced params (scan xs staging); l a traced index → `layers`
@@ -343,7 +344,9 @@ def _layer_fwd_cached(x, layers, l, norms, layer_kv, start, rope, mask, cfg, qme
     q, k, v = _qkv(h, layers, cfg, qm, layer=l)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn, layer_kv = _write_and_attend(q, k, v, layer_kv, start, mask, cfg)
+    attn, layer_kv = _write_and_attend(
+        q, k, v, layer_kv, start, mask, cfg, in_place=cache_in_place
+    )
     x = x + linear(attn, layers["o_proj"], qm("o_proj"), layer=l)
 
     h = rms_norm(x, mlp_norm, cfg.norm_eps)
@@ -382,6 +385,7 @@ def forward_with_cache(params, input_ids, positions, cache, cfg, qmeta=None):
             x, lkv = _layer_fwd_cached(
                 x, lp, None, (lp["attn_norm"], lp["mlp_norm"]),
                 cache.layer(l), start, rope, mask, cfg, qmeta_d,
+                cache_in_place=cache.per_layer,
             )
             new_kv.append(lkv)
         k_new, v_new, ks_new, vs_new = (

@@ -100,20 +100,13 @@ def _batch_axis(per_layer: bool, a) -> int:
     return 1
 
 
-@partial(jax.jit, static_argnames=("per_layer",))
-def _gather_slots(cache, idxs, per_layer: bool):
-    """Slice the cache rows of `idxs` out of the full cache — O(len(idxs))
-    traffic, one dispatch for the whole pytree."""
+def _gather_tree(cache, idxs, per_layer: bool):
     return jax.tree_util.tree_map(
         lambda a: jnp.take(a, idxs, axis=_batch_axis(per_layer, a)), cache
     )
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("per_layer",))
-def _scatter_slots(cache, part, idxs, per_layer: bool):
-    """Write prefilled rows back into the full cache. The cache is DONATED,
-    so the unique-index scatter updates the big buffers in place — the
-    admission write-back is O(rows-written), independent of max_batch."""
+def _scatter_tree(cache, part, idxs, per_layer: bool):
     def put(a, p):
         ax = _batch_axis(per_layer, a)
         if ax == 0:
@@ -121,6 +114,69 @@ def _scatter_slots(cache, part, idxs, per_layer: bool):
         return a.at[:, idxs].set(p)
 
     return jax.tree_util.tree_map(put, cache, part)
+
+
+@partial(jax.jit, static_argnames=("per_layer",))
+def _gather_slots(cache, idxs, per_layer: bool):
+    """Slice the cache rows of `idxs` out of the full cache — O(len(idxs))
+    traffic, one dispatch for the whole pytree."""
+    return _gather_tree(cache, idxs, per_layer)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("per_layer",))
+def _scatter_slots(cache, part, idxs, per_layer: bool):
+    """Write prefilled rows back into the full cache. The cache is DONATED,
+    so the unique-index scatter updates the big buffers in place — the
+    admission write-back is O(rows-written), independent of max_batch."""
+    return _scatter_tree(cache, part, idxs, per_layer)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "qmeta", "n_steps", "do_decode", "dec_sampling", "per_layer",
+        "arch",
+    ),
+    donate_argnums=(1,),
+)
+def _fused_step(
+    params, cache, ids, starts, idxs, first_cols, ptemps,
+    dec_tokens, dec_pos, dtemps, key, cfg, qmeta,
+    n_steps: int, do_decode: bool, dec_sampling: bool, per_layer: bool,
+    arch: str,
+):
+    """ONE device program for a whole engine step: admission-row gather →
+    chunked prefill → scatter-back → first-token sampling → a decode
+    block for the running slots. On a relay-attached TPU every dispatch
+    costs a host round trip (measured 84 ms per 4-dispatch prefill phase
+    vs ~20 ms of actual compute); fusing the step leaves exactly one
+    dispatch and one (firsts, block-tokens) readback per engine step.
+
+    Pad rows of the (bucketed) admission batch must carry DISTINCT slot
+    indices not being prefilled (the caller picks them): they enter with
+    start ≥ max_len so the masked writes change nothing and the scatter
+    writes their own rows back unchanged — never racing a live slot's
+    update (a duplicate-index scatter is last-write-wins-unspecified).
+    """
+    part = _gather_tree(cache, idxs, per_layer)
+    logits, part = prefill_full(
+        params, ids, part, cfg, qmeta, start=starts, arch=arch
+    )
+    cache = _scatter_tree(cache, part, idxs, per_layer)
+    k1, k2 = jax.random.split(key)
+    row_logits = jnp.take_along_axis(
+        logits, first_cols[:, None, None], axis=1
+    )[:, 0]
+    firsts = mixed_sample(row_logits, ptemps, k1)
+    if do_decode:
+        toks, cache = decode_multi(
+            params, dec_tokens, dec_pos, cache,
+            dtemps if dec_sampling else None, k2, cfg, n_steps, qmeta,
+            arch=arch,
+        )
+    else:
+        toks = jnp.zeros((dec_tokens.shape[0], n_steps), jnp.int32)
+    return firsts, toks, cache
 
 
 @jax.jit
@@ -158,13 +214,16 @@ class ContinuousBatcher:
         self.decode_block = max(1, decode_block)
         self.prefill_chunk = max(16, prefill_chunk)
         self.prefill_parallel = max(1, prefill_parallel)
-        # per-layer cache buffers are the decode-latency format on TPU
-        # (no scan staging of cache tiles — see serve.kvcache.KVCache);
-        # stacked elsewhere (the layer-scan forward)
+        # stacked caches measured FASTER at engine level on v5e (r4 A/B,
+        # mixed load: 867 vs 554 tok/s, TTFT 0.76 vs 1.15 s) — the layer
+        # scan amortizes launch overhead that the per-layer unrolled
+        # forward pays 22×, outweighing the scan's cache-tile staging.
+        # per_layer remains the long-context format (the S-blocked flash
+        # kernel with in-place block writes needs standalone buffers);
+        # engines with max_seq_len % 2048 == 0 and long contexts should
+        # pass kv_layout="per_layer" explicitly.
         if kv_layout is None:
-            kv_layout = (
-                "per_layer" if jax.default_backend() == "tpu" else "stacked"
-            )
+            kv_layout = "stacked"
         self.kv_layout = kv_layout
         # decode blocks may overshoot a slot's last token by block−1 steps;
         # size the cache so those writes stay in range
@@ -235,15 +294,14 @@ class ContinuousBatcher:
             self.slots[free] = req  # reserve; first token arrives at last chunk
             self.prefilling.append(_Prefill(req=req, slot=free, done=0))
 
-    def _prefill_chunk(self):
-        """Run ONE chunk of ALL in-flight admissions as one batched prefill
-        program; requests reaching their final chunk sample their first
-        token. Pad rows (batch bucketing) and rows shorter than the chunk
-        batch enter with start = max_len, which the masked T>1 cache write
-        skips entirely."""
+    def _prefill_chunk_arrays(self):
+        """Build this step's bucketed admission arrays. Returns (ids [P,Tb],
+        starts [P], idxs [P] slot per row, ns tokens consumed per live row,
+        first_cols [P], ptemps [P]). Pad rows use DISTINCT non-prefilling
+        slots (see _fused_step) and start = max_len (masked writes)."""
         pfs = self.prefilling
         P = _bucket(len(pfs)) if len(pfs) > 1 else 1
-        P = min(P, max(1, self.prefill_parallel))
+        P = min(P, max(1, self.prefill_parallel), self.max_batch)
         chunk = self.prefill_chunk
         # chunk length: full chunks while any request has a full chunk
         # left; once all are on their final partial chunk, shrink to the
@@ -256,63 +314,34 @@ class ContinuousBatcher:
         S_cap = self.cache.max_len
         ids = np.zeros((P, Tb), np.int32)
         starts = np.full((P,), S_cap, np.int32)  # pad rows: masked
+        first_cols = np.zeros((P,), np.int32)
+        ptemps = np.zeros((P,), np.float32)
         ns = []
         for r, pf in enumerate(pfs):
             n = min(len(pf.req.prompt) - pf.done, Tb)
             ids[r, :n] = pf.req.prompt[pf.done : pf.done + n]
             starts[r] = pf.done
+            first_cols[r] = max(n - 1, 0)
+            ptemps[r] = pf.req.temperature
             ns.append(n)
-        idxs = jnp.asarray(
-            [pf.slot for pf in pfs] + [0] * (P - len(pfs)), jnp.int32
-        )
-        part = _gather_slots(self.cache, idxs, self.cache.per_layer)
-        logits, part = prefill_full(
-            self.params,
-            jnp.asarray(ids),
-            part,
-            self.cfg,
-            self.qmeta,
-            start=jnp.asarray(starts),
-            arch=self.arch,
-        )
-        # scatter back only the LIVE rows: pad rows alias slot 0 and a
-        # duplicate-index scatter is last-write-wins-unspecified — a pad
-        # row's stale pre-prefill copy of slot 0 must never race a real
-        # write into slot 0
-        if len(pfs) < P:
-            part = jax.tree_util.tree_map(
-                lambda a: (
-                    a[: len(pfs)]
-                    if _batch_axis(self.cache.per_layer, a) == 0
-                    else a[:, : len(pfs)]
-                ),
-                part,
-            )
-        self.cache = _scatter_slots(
-            self.cache, part, idxs[: len(pfs)], self.cache.per_layer
-        )
+        live = {pf.slot for pf in pfs}
+        spare = [i for i in range(self.max_batch) if i not in live]
+        idxs = [pf.slot for pf in pfs] + spare[: P - len(pfs)]
+        return ids, starts, np.asarray(idxs, np.int32), ns, first_cols, ptemps
+
+    def _apply_prefill_results(self, ns, firsts):
+        """Advance the in-flight admissions by this chunk; requests whose
+        prompt completed take their sampled first token."""
         still = []
-        finishing = []
-        for r, pf in enumerate(pfs):
+        now = time.perf_counter()
+        for r, pf in enumerate(self.prefilling):
             pf.done += ns[r]
             if pf.done >= len(pf.req.prompt):
-                finishing.append((r, ns[r] - 1, pf))
-            else:
-                still.append(pf)
-        if finishing:
-            rows = jnp.asarray([r for r, _, _ in finishing], jnp.int32)
-            cols = jnp.asarray([c for _, c, _ in finishing], jnp.int32)
-            temps = jnp.asarray(
-                [pf.req.temperature for _, _, pf in finishing], jnp.float32
-            )
-            firsts = np.asarray(
-                _sample_batch(logits[rows, cols], temps, self._next_key())
-            )
-            now = time.perf_counter()
-            for (r, _, pf), tok in zip(finishing, firsts):
-                pf.req.output.append(int(tok))
+                pf.req.output.append(int(firsts[r]))
                 pf.req.first_token_at = now
                 self._finish_if_done(pf.slot, pf.req)
+            else:
+                still.append(pf)
         self.prefilling = still
 
     def _finish_if_done(self, i, req) -> bool:
@@ -332,16 +361,51 @@ class ContinuousBatcher:
         return False
 
     def step(self):
-        """One engine step: one batched prefill chunk (if admissions are
-        pending) then one decode block for the active slots."""
+        """One engine step: admissions + a decode block for running slots,
+        all in ONE device program (or just the decode block when nothing
+        is being admitted)."""
         self._start_prefill()
-        if self.prefilling:
-            self._prefill_chunk()
-
         mid_prefill = {pf.slot for pf in self.prefilling}
         active = [i for i in self.active if i not in mid_prefill]
-        if not active:
+        if not self.prefilling:
+            if active:
+                # drain mode: nothing waiting to be admitted → run a
+                # bigger decode block (fewer relay round trips); bucketed
+                # to bound the program zoo. Admissions pending → keep the
+                # configured block so slots free / chunks interleave fast.
+                block = self.decode_block
+                if not self.queue:
+                    remaining = max(
+                        self.slots[i].max_new_tokens
+                        - len(self.slots[i].output)
+                        for i in active
+                    )
+                    for cand in (64, 32):
+                        if cand > block and remaining >= cand:
+                            block = cand
+                            break
+                self._decode_block(active, block)
             return
+
+        ids, starts, idxs, ns, first_cols, ptemps = (
+            self._prefill_chunk_arrays()
+        )
+        dec_tokens, dec_pos, dtemps, sampling = self._decode_arrays(active)
+        firsts, toks, self.cache = _fused_step(
+            self.params, self.cache,
+            jnp.asarray(ids), jnp.asarray(starts), jnp.asarray(idxs),
+            jnp.asarray(first_cols), jnp.asarray(ptemps),
+            jnp.asarray(dec_tokens), jnp.asarray(dec_pos),
+            jnp.asarray(dtemps), self._next_key(),
+            self.cfg, self.qmeta, self.decode_block,
+            bool(active), sampling, self.cache.per_layer, self.arch,
+        )
+        firsts, toks_np = jax.device_get((firsts, toks))
+        self._apply_prefill_results(ns, firsts)
+        if active:
+            self._apply_decode_results(active, toks_np)
+
+    def _decode_arrays(self, active):
         S_cap = self.cache.max_len
         tokens = np.zeros((self.max_batch,), np.int32)
         pos = np.full((self.max_batch,), S_cap, np.int32)  # inactive: masked
@@ -351,7 +415,22 @@ class ContinuousBatcher:
             tokens[i] = req.output[-1]
             pos[i] = len(req.prompt) + len(req.output) - 1
             temps[i] = req.temperature
-        sampling = bool(np.any(temps > 0.0))
+        return tokens, pos, temps, bool(np.any(temps > 0.0))
+
+    def _apply_decode_results(self, active, toks_np, block=None):
+        block = self.decode_block if block is None else block
+        for i in active:
+            req = self.slots[i]
+            for j in range(block):
+                req.output.append(int(toks_np[i, j]))
+                if self._finish_if_done(i, req):
+                    break
+
+    def _decode_block(self, active, block=None):
+        """Pure-decode step (no admissions pending): one decode_multi
+        block, one dispatch."""
+        block = self.decode_block if block is None else block
+        tokens, pos, temps, sampling = self._decode_arrays(active)
         toks, self.cache = decode_multi(
             self.params,
             jnp.asarray(tokens),
@@ -360,17 +439,11 @@ class ContinuousBatcher:
             jnp.asarray(temps) if sampling else None,
             self._next_key(),
             self.cfg,
-            self.decode_block,
+            block,
             self.qmeta,
             arch=self.arch,
         )
-        toks_np = np.asarray(toks)  # [B, decode_block]
-        for i in active:
-            req = self.slots[i]
-            for j in range(self.decode_block):
-                req.output.append(int(toks_np[i, j]))
-                if self._finish_if_done(i, req):
-                    break
+        self._apply_decode_results(active, np.asarray(toks), block)
 
     def metrics(self) -> dict:
         """Aggregate serving metrics over finished requests."""

@@ -572,3 +572,107 @@ def test_pallas_layer_boundary_matches_composed():
     assert (
         float(jnp.max(jnp.abs(qkv.astype(jnp.float32) - qkv_ref))) < 2e-2
     )
+
+
+def test_pallas_w8a8_matches_xla_path():
+    """Single-launch W8A8 kernel (in-kernel dynamic act quant + int8 MXU
+    dots + rank-1 zero correction) == the XLA reference path."""
+    import jax
+
+    from qtpu.core.packing import quantize_pack
+    from qtpu.kernels.int8_matmul import _w8a8_matmul_ref
+    from qtpu.kernels.pallas_int8_matmul import pallas_w8a8_matmul
+
+    M, K, N = 8, 256, 256
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = jax.random.normal(ks[0], (M, K), jnp.bfloat16)
+    w = jax.random.normal(ks[1], (K, N), jnp.bfloat16) * 0.05
+    qt = quantize_pack(w, 8, K)
+    meta = (8, K, K, N)
+    ref = _w8a8_matmul_ref(x, qt.data, qt.scales, qt.zeros, meta)
+    got = pallas_w8a8_matmul(
+        x, qt.data, qt.scales, qt.zeros, meta, interpret=True
+    )
+    err = float(jnp.max(jnp.abs((got - ref).astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-6
+    assert err / scale < 2e-2, (err, scale)
+
+
+def test_pallas_banded_write_matches_full():
+    """In-place banded write+attend == the full-tile write+attend kernel
+    (same attention output, same post-step cache), including inactive
+    rows (pos >= S) writing nothing."""
+    import jax
+
+    from qtpu.kernels.pallas_kv_attention import (
+        pallas_decode_attention_write,
+        pallas_decode_attention_write_banded,
+    )
+
+    B, KV, G, hd, S = 4, 2, 4, 32, 256
+    H = KV * G
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.bfloat16)
+    k_new = jax.random.normal(ks[1], (B, 1, KV, hd), jnp.bfloat16)
+    v_new = jax.random.normal(ks[2], (B, 1, KV, hd), jnp.bfloat16)
+    k_c = jax.random.randint(ks[3], (B, KV, S, hd), -127, 127, jnp.int8)
+    v_c = jax.random.randint(ks[4], (B, KV, S, hd), -127, 127, jnp.int8)
+    ks_c = jnp.abs(jax.random.normal(ks[5], (B, KV, S))) * 0.01 + 1e-3
+    vs_c = jnp.abs(jax.random.normal(ks[6], (B, KV, S))) * 0.01 + 1e-3
+    pos = jnp.asarray([7, 100, 255, S + 5], jnp.int32)  # last row inactive
+
+    # both kernels donate the cache args - pass private copies
+    o_f, kf, vf, ksf, vsf = pallas_decode_attention_write(
+        q, k_new, v_new, jnp.array(k_c), jnp.array(v_c), jnp.array(ks_c),
+        jnp.array(vs_c), pos, interpret=True
+    )
+    o_b, kb_, vb, ksb, vsb = pallas_decode_attention_write_banded(
+        q, k_new, v_new, jnp.array(k_c), jnp.array(v_c), jnp.array(ks_c),
+        jnp.array(vs_c), pos, interpret=True
+    )
+    assert jnp.array_equal(kf, kb_), "k cache mismatch"
+    assert jnp.array_equal(vf, vb), "v cache mismatch"
+    assert jnp.array_equal(ksf, ksb), "k scales mismatch"
+    assert jnp.array_equal(vsf, vsb), "v scales mismatch"
+    err = float(jnp.max(jnp.abs((o_f - o_b).astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(o_f.astype(jnp.float32)))) + 1e-6
+    assert err / scale < 3e-2, (err, scale)
+
+
+def test_pallas_flash_decode_matches_full():
+    """S-blocked online-softmax decode (+in-place block write) == the
+    full-tile write+attend kernel."""
+    import jax
+
+    from qtpu.kernels.pallas_kv_attention import (
+        pallas_decode_attention_flash,
+        pallas_decode_attention_write,
+    )
+
+    B, KV, G, hd, S = 2, 2, 4, 32, 4096
+    H = KV * G
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.bfloat16)
+    k_new = jax.random.normal(ks[1], (B, 1, KV, hd), jnp.bfloat16)
+    v_new = jax.random.normal(ks[2], (B, 1, KV, hd), jnp.bfloat16)
+    k_c = jax.random.randint(ks[3], (B, KV, S, hd), -127, 127, jnp.int8)
+    v_c = jax.random.randint(ks[4], (B, KV, S, hd), -127, 127, jnp.int8)
+    ks_c = jnp.abs(jax.random.normal(ks[5], (B, KV, S))) * 0.01 + 1e-3
+    vs_c = jnp.abs(jax.random.normal(ks[6], (B, KV, S))) * 0.01 + 1e-3
+    pos = jnp.asarray([1234, S + 3], jnp.int32)  # one active, one inactive
+
+    o_f, kf, vf, ksf, vsf = pallas_decode_attention_write(
+        q, k_new, v_new, jnp.array(k_c), jnp.array(v_c), jnp.array(ks_c),
+        jnp.array(vs_c), pos, interpret=True
+    )
+    o_b, kb_, vb, ksb, vsb = pallas_decode_attention_flash(
+        q, k_new, v_new, jnp.array(k_c), jnp.array(v_c), jnp.array(ks_c),
+        jnp.array(vs_c), pos, interpret=True
+    )
+    assert jnp.array_equal(kf, kb_), "k cache mismatch"
+    assert jnp.array_equal(vf, vb), "v cache mismatch"
+    assert jnp.array_equal(ksf, ksb), "k scales mismatch"
+    assert jnp.array_equal(vsf, vsb), "v scales mismatch"
+    err = float(jnp.max(jnp.abs((o_f - o_b).astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(o_f.astype(jnp.float32)))) + 1e-6
+    assert err / scale < 3e-2, (err, scale)
