@@ -172,6 +172,34 @@ def main():
             1,
         )
         flush()
+    # true W8A8 (BASELINE #4 serving story): per-channel int8 weights +
+    # dynamic per-token int8 activations through the int8-MXU Pallas
+    # kernel, vs W8 weight-only on the same shapes. a8 sites have no
+    # scalar-prefetch stacked kernel, so both rows run scan-xs staged
+    # delivery for an apples-to-apples comparison.
+    if not have("tinyllama_w8a8_decode_tokens_per_s"):
+        import os as _os
+
+        from qtpu.bench.synth import tiled_w8a8_llama
+
+        _os.environ["QTPU_DECODE_DELIVERY"] = "staged"
+        try:
+            packed8, qmeta8 = _tiled_packed_model(cfg, 8, 128)
+            out["tinyllama_w8_decode_tokens_per_s_staged"] = round(
+                decode_tps(packed8, qmeta8, cfg, B=8, P=128,
+                           n_small=1, n_large=4), 1
+            )
+            del packed8
+            packed88, qmeta88 = tiled_w8a8_llama(cfg)
+            out["tinyllama_w8a8_decode_tokens_per_s"] = round(
+                decode_tps(packed88, qmeta88, cfg, B=8, P=128,
+                           n_small=1, n_large=4), 1
+            )
+            del packed88
+        finally:
+            _os.environ.pop("QTPU_DECODE_DELIVERY", None)
+        flush()
+
     # large-batch decode: weight streaming amortizes over the batch — the
     # serving-throughput operating point (vs the latency point at B=8)
     if not have("tinyllama_w4_decode_tokens_per_s_b32"):
@@ -202,9 +230,12 @@ def main():
                 )
 
         def fresh():
+            # r4-tuned serving point (A/B'd on this load): whole-prompt
+            # chunks, slot table wider than the steady decode batch,
+            # admission as wide as the table (engine default)
             return ContinuousBatcher(
-                packed, cfg, qmeta=qmeta, max_batch=8, max_seq_len=512,
-                kv_dtype="int8", decode_block=16, prefill_chunk=128,
+                packed, cfg, qmeta=qmeta, max_batch=12, max_seq_len=512,
+                kv_dtype="int8", decode_block=16, prefill_chunk=384,
             )
 
         warm = fresh()

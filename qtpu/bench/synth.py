@@ -130,3 +130,53 @@ def tiled_packed_moe(cfg, w_bit: int = 4, group: int = 128):
     }
     metas["lm_head"] = (w_bit, group, D, V)
     return packed, tuple(sorted(metas.items()))
+
+
+def tiled_w8a8_llama(cfg):
+    """(packed_params, qmeta) with per-CHANNEL int8 weights (one group
+    spanning K) and 5-tuple ("a8") metas — the true W8A8 serving layout
+    (ops.linear dispatches these through the int8-MXU W8A8 kernel with
+    dynamic per-token activation quantization)."""
+    L = cfg.num_layers
+    D, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Q, KV = cfg.q_dim, cfg.kv_dim
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+
+    def tile(a):
+        return jnp.broadcast_to(a[None], (L,) + a.shape)
+
+    site_shapes = {
+        "q_proj": (D, Q),
+        "k_proj": (D, KV),
+        "v_proj": (D, KV),
+        "o_proj": (Q, D),
+        "gate_proj": (D, F),
+        "up_proj": (D, F),
+        "down_proj": (F, D),
+    }
+    metas = {}
+    layers = {
+        "attn_norm": jnp.ones((L, D), jnp.bfloat16),
+        "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
+    }
+    for (site, sh), k in zip(site_shapes.items(), keys[:7]):
+        w1 = jax.random.normal(k, sh, jnp.bfloat16) * 0.02
+        qt = quantize_pack(w1, 8, sh[0])  # per-channel: group == K
+        layers[site] = {
+            "data": tile(qt.data),
+            "scales": tile(qt.scales),
+            "zeros": tile(qt.zeros),
+        }
+        metas[site] = (8, sh[0], sh[0], sh[1], "a8")
+        del w1, qt
+    head_w = jax.random.normal(keys[7], (D, V), jnp.bfloat16) * 0.02
+    qt = quantize_pack(head_w, 8, D)
+    packed = {
+        "embed": jax.random.normal(jax.random.PRNGKey(9), (V, D), jnp.bfloat16)
+        * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((D,), jnp.bfloat16),
+        "lm_head": {"data": qt.data, "scales": qt.scales, "zeros": qt.zeros},
+    }
+    metas["lm_head"] = (8, D, D, V, "a8")
+    return packed, tuple(sorted(metas.items()))

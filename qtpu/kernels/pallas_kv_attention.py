@@ -45,11 +45,17 @@ def _pick_blocks(B, KV, S, hd, bytes_per_head, scale_bytes_per_head=0):
     bb = max(1, min(B, budget // max(kb * per_head, 1)))
     while B % bb:
         bb -= 1
-    while bb > 1 and bb * kb > 32:
+    # unroll cap: the phased kernel bodies keep blend tiles + score tiles
+    # live across phases, and Mosaic allocates in/out blocks per body —
+    # measured ~4.6× per_head of scoped vmem per body (16.88M at 32
+    # bodies, S=440). Cap total bodies to fit the 16 MB scoped-vmem limit
+    # with headroom, never above 32 (the r3 stack-OOM ceiling).
+    max_bodies = min(32, max(8, int(14.5e6 // max(4.6 * per_head, 1))))
+    while bb > 1 and bb * kb > max_bodies:
         bb -= 1
         while B % bb:
             bb -= 1
-    while kb > 32 and bb * kb > 32:  # MHA: many kv heads, bb already 1
+    while kb > max_bodies and bb * kb > max_bodies:  # MHA: bb already 1
         kb -= 1
         while KV % kb:
             kb -= 1
@@ -59,12 +65,12 @@ def _pick_blocks(B, KV, S, hd, bytes_per_head, scale_bytes_per_head=0):
         bb = int(env_bb)
     if env_kb and KV % int(env_kb) == 0:
         kb = int(env_kb)
-    if bb * kb > 32:
+    if bb * kb > max_bodies:
         import warnings
 
         warnings.warn(
             f"QTPU_ATTN_BB/KB override gives {bb * kb} unrolled bodies "
-            "(>32): risks the scoped-vmem OOM the cap prevents"
+            f"(> {max_bodies}): risks the scoped-vmem OOM the cap prevents"
         )
     return bb, kb
 
@@ -83,36 +89,39 @@ def _decode_attn_kernel(
     _decode_attn_write_kernel."""
     G, hd = q_ref.shape[2], q_ref.shape[3]
     S = k_ref.shape[2]
-    for bi in range(bb):
-        b = pl.program_id(0) * bb + bi
-        pos = pos_ref[b]
+    bodies = [(bi, j) for bi in range(bb) for j in range(kb)]
+    # PHASED structure (r4): all score dots, then all softmaxes, then all
+    # pv dots — the per-body dot→softmax→dot chain serialized the tiny MXU
+    # issues; grouping the independent dots lets Mosaic overlap them
+    # (measured 50.5 → 22.9 µs/layer at B=32 TinyLlama shapes on v5e)
+    sc = {}
+    for bi, j in bodies:
+        sc[bi, j] = jax.lax.dot_general(
+            q_ref[bi, j], k_ref[bi, j].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, S]
+    pv = {}
+    for bi, j in bodies:
+        pos = pos_ref[pl.program_id(0) * bb + bi]
         s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
         valid = s_idx <= pos
         if window > 0:  # sliding-window band (Mistral)
             valid &= s_idx > pos - window
-        for j in range(kb):  # static unroll over the kv-head block
-            q = q_ref[bi, j]  # [G, hd] bf16
-            ks = ks_ref[bi, j].astype(jnp.float32)  # [S] in lanes
-
-            scores = jax.lax.dot_general(
-                q, k_ref[bi, j].astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, S]
-            scores = scores * ks[None, :] * (1.0 / float(hd) ** 0.5)
-            scores = jnp.where(valid, scores, -1e30)
-
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
-
-            vs = vs_ref[bi, j].astype(jnp.float32)  # [S] in lanes
-            pv = (p * vs[None, :]).astype(jnp.bfloat16)
-            out = jnp.dot(
-                pv, v_ref[bi, j].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            o_ref[bi, j] = out.astype(o_ref.dtype)
+        ks = ks_ref[bi, j].astype(jnp.float32)  # [S] in lanes
+        scores = sc[bi, j] * ks[None, :] * (1.0 / float(hd) ** 0.5)
+        scores = jnp.where(valid, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
+        vs = vs_ref[bi, j].astype(jnp.float32)  # [S] in lanes
+        pv[bi, j] = (p * vs[None, :]).astype(jnp.bfloat16)
+    for bi, j in bodies:
+        out = jnp.dot(
+            pv[bi, j], v_ref[bi, j].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[bi, j] = out.astype(o_ref.dtype)
 
 
 def _decode_attn_write_kernel(
@@ -152,53 +161,62 @@ def _decode_attn_write_kernel(
     program (fewer grid steps → fewer DMA issues)."""
     S = k_ref.shape[2]
     G, hd = q_ref.shape[2], q_ref.shape[3]
-    for bi in range(bb):
-        b = pl.program_id(0) * bb + bi
-        pos = pos_ref[b]
+    bodies = [(bi, j) for bi in range(bb) for j in range(kb)]
+    # PHASED (r4): all blends+writes, then all score dots, then all
+    # softmaxes, then all pv dots — see _decode_attn_kernel
+    blend = {}
+    for bi, j in bodies:
+        pos = pos_ref[pl.program_id(0) * bb + bi]
         row_hit = jax.lax.broadcasted_iota(jnp.int32, (S, hd), 0) == pos
         lane_hit = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[0] == pos
+        # quantize the new K/V row (absmax over hd → one f32 scale)
+        kn = kn_ref[bi, j, 0].astype(jnp.float32)  # [hd]
+        vn = vn_ref[bi, j, 0].astype(jnp.float32)
+        k_sc = jnp.clip(jnp.max(jnp.abs(kn)) / 127.0, 1e-8, None)
+        v_sc = jnp.clip(jnp.max(jnp.abs(vn)) / 127.0, 1e-8, None)
+        kq = jnp.clip(jnp.round(kn / k_sc), -127, 127)
+        vq = jnp.clip(jnp.round(vn / v_sc), -127, 127)
+
+        # blend row into the cache tile in int8 (positions ≥ S never
+        # hit → tile passes through unchanged); the write into the
+        # output block IS the scan-ys cache update
+        ki8 = jnp.where(row_hit, kq.astype(jnp.int8)[None, :], k_ref[bi, j])
+        vi8 = jnp.where(row_hit, vq.astype(jnp.int8)[None, :], v_ref[bi, j])
+        ks_bl = jnp.where(lane_hit, k_sc, ks_ref[bi, j].astype(jnp.float32))
+        vs_bl = jnp.where(lane_hit, v_sc, vs_ref[bi, j].astype(jnp.float32))
+        ko_ref[bi, j] = ki8
+        vo_ref[bi, j] = vi8
+        kso_ref[bi, j] = ks_bl
+        vso_ref[bi, j] = vs_bl
+        blend[bi, j] = (ki8, vi8, ks_bl, vs_bl)
+
+    sc = {}
+    for bi, j in bodies:
+        sc[bi, j] = jax.lax.dot_general(
+            q_ref[bi, j], blend[bi, j][0].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, S]
+    pv = {}
+    for bi, j in bodies:
+        pos = pos_ref[pl.program_id(0) * bb + bi]
         s_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
         valid = s_idx <= pos
         if window > 0:  # sliding-window band (Mistral)
             valid &= s_idx > pos - window
-        for j in range(kb):  # static unroll over the kv-head block
-            # quantize the new K/V row (absmax over hd → one f32 scale)
-            kn = kn_ref[bi, j, 0].astype(jnp.float32)  # [hd]
-            vn = vn_ref[bi, j, 0].astype(jnp.float32)
-            k_sc = jnp.clip(jnp.max(jnp.abs(kn)) / 127.0, 1e-8, None)
-            v_sc = jnp.clip(jnp.max(jnp.abs(vn)) / 127.0, 1e-8, None)
-            kq = jnp.clip(jnp.round(kn / k_sc), -127, 127)
-            vq = jnp.clip(jnp.round(vn / v_sc), -127, 127)
-
-            # blend row into the cache tile in int8 (positions ≥ S never
-            # hit → tile passes through unchanged); the write into the
-            # output block IS the scan-ys cache update
-            ki8 = jnp.where(row_hit, kq.astype(jnp.int8)[None, :], k_ref[bi, j])
-            vi8 = jnp.where(row_hit, vq.astype(jnp.int8)[None, :], v_ref[bi, j])
-            ks_bl = jnp.where(lane_hit, k_sc, ks_ref[bi, j].astype(jnp.float32))
-            vs_bl = jnp.where(lane_hit, v_sc, vs_ref[bi, j].astype(jnp.float32))
-            ko_ref[bi, j] = ki8
-            vo_ref[bi, j] = vi8
-            kso_ref[bi, j] = ks_bl
-            vso_ref[bi, j] = vs_bl
-
-            q = q_ref[bi, j]  # [G, hd] bf16
-            scores = jax.lax.dot_general(
-                q, ki8.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, S]
-            scores = scores * ks_bl[None, :] * (1.0 / float(hd) ** 0.5)
-            scores = jnp.where(valid, scores, -1e30)
-
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
-            pv = (p * vs_bl[None, :]).astype(jnp.bfloat16)
-            out = jnp.dot(
-                pv, vi8.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            o_ref[bi, j] = out.astype(o_ref.dtype)
+        _, _, ks_bl, vs_bl = blend[bi, j]
+        scores = sc[bi, j] * ks_bl[None, :] * (1.0 / float(hd) ** 0.5)
+        scores = jnp.where(valid, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S]
+        pv[bi, j] = (p * vs_bl[None, :]).astype(jnp.bfloat16)
+    for bi, j in bodies:
+        out = jnp.dot(
+            pv[bi, j], blend[bi, j][1].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[bi, j] = out.astype(o_ref.dtype)
 
 
 def _decode_attn_write_bf16_kernel(

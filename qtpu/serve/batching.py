@@ -199,9 +199,9 @@ class ContinuousBatcher:
         kv_dtype: str = "bfloat16",
         eos_token: int | None = None,
         seed: int = 0,
-        decode_block: int = 8,
+        decode_block: int = 16,
         prefill_chunk: int = 256,
-        prefill_parallel: int = 4,
+        prefill_parallel: int | None = None,
         kv_layout: str | None = None,
     ):
         self.params = params
@@ -213,7 +213,12 @@ class ContinuousBatcher:
         self.eos = eos_token
         self.decode_block = max(1, decode_block)
         self.prefill_chunk = max(16, prefill_chunk)
-        self.prefill_parallel = max(1, prefill_parallel)
+        # admit as wide as the slot table allows by default — measured on
+        # v5e mixed load (r4): chunk 256 / parallel 8 gave 1,116 tok/s and
+        # 0.57 s TTFT vs 935 / 0.70 at chunk 128 / parallel 4
+        self.prefill_parallel = max(
+            1, max_batch if prefill_parallel is None else prefill_parallel
+        )
         # stacked caches measured FASTER at engine level on v5e (r4 A/B,
         # mixed load: 867 vs 554 tok/s, TTFT 0.76 vs 1.15 s) — the layer
         # scan amortizes launch overhead that the per-layer unrolled

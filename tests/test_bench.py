@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from qtpu.bench import QuantizationBenchmark
 from qtpu.configs import default_config, list_presets, setup_config, validate_config
 from qtpu.core.dtypes import MiB

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from qtpu.bench import QuantizationBenchmark
 from qtpu.calib import collect_calibration_stats
 from qtpu.models import get_model_config

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from qtpu.calib import collect_calibration_stats
 from qtpu.models import TINY_TEST, forward, init_params
 from qtpu.quant import quantize_model

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from qtpu.bench import QuantizationBenchmark
 from qtpu.calib import collect_calibration_stats
 from qtpu.models import get_model_config

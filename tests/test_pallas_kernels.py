@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from qtpu.core.packing import quantize_pack
 from qtpu.kernels.dequant_matmul import _codebook_matmul_ref, _quantized_matmul_ref
 from qtpu.kernels.pallas_dequant_matmul import (

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from qtpu.models.config import TINY_TEST
 from qtpu.models.llama import forward, init_params
 from qtpu.quant.apply import pack_model

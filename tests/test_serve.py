@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from qtpu.models import TINY_TEST, forward, init_params
 from qtpu.quant.apply import pack_model
 from qtpu.serve import ContinuousBatcher, init_cache

@@ -82,8 +82,8 @@ def main():
         U = gptq_prepare_factor_lowrank(v, 0.01)
 
         def sweep(W, U):
-            q, _, _ = gptq_column_sweep(W, U, 4, 128, 128)
-            return q
+            out = gptq_column_sweep(W, U, 4, 128, 128)
+            return out[0]
 
         row["sweep_s"] = timeit(jax.jit(sweep), W, U)
         row["shape_out_in"] = [N, C]
