@@ -31,12 +31,14 @@ class KVCache:
       layout the layer-scan forward consumes as scan xs/ys.
     * per-layer (per_layer=True): k/v are TUPLES of L [B, KV, S, hd]
       arrays — each layer's cache is its own XLA buffer, updated
-      functionally by that layer's fused attention kernel with no scan
-      xs slice / ys stack in between. Measured on v5e: the scan staging
-      of cache tiles costs ~29 µs/layer/step while the fused kernel
-      itself is ~14 µs — per-layer buffers are the decode-latency format
-      (the standard TPU serving layout, cf. maxtext-style per-layer
-      caches). Requires the unrolled-layer forward.
+      functionally by that layer's attention kernel with no scan xs
+      slice / ys stack in between. Requires the unrolled-layer forward.
+      This is the LONG-CONTEXT format: standalone buffers are what the
+      S-blocked flash decode kernel updates in place (one 2048-row block
+      written per step — kernels.pallas_kv_attention). At short S the
+      stacked layout wins end-to-end (r4 engine A/B on v5e: 867 vs
+      554 tok/s mixed load — the layer scan amortizes launch overhead
+      the unrolled forward pays L times, outweighing its cache staging).
     """
 
     k: object  # [L, B, KV, S, hd] bf16/int8, or tuple of L [B, KV, S, hd]
