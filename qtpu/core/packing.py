@@ -41,7 +41,17 @@ def pack_int4(q: jnp.ndarray, group_size: int | None = None) -> jnp.ndarray:
     qg = q.reshape(K // g, g, *q.shape[1:])
     lo = qg[:, : g // 2]
     hi = qg[:, g // 2 :]
-    return (lo | (hi << 4)).astype(jnp.int8).reshape(K // 2, *q.shape[1:])
+    # EXCESS-8 hi nibble: storing (hi ^ 8) makes the byte's arithmetic
+    # top nibble equal hi - 8, so the hot split-dot kernel recovers the
+    # hi field with ONE sign-extending shift (no mask) and folds the -8
+    # bias into its per-group zero correction - one fewer VPU op per
+    # packed byte on the W4 decode path, which is VPU-unpack-bound
+    # (measured r4). The unsigned-domain inverse is q_hi = stored ^ 8.
+    return (
+        (lo | ((hi ^ jnp.uint8(8)) << 4))
+        .astype(jnp.int8)
+        .reshape(K // 2, *q.shape[1:])
+    )
 
 
 def pack_int2(q: jnp.ndarray, group_size: int) -> jnp.ndarray:
@@ -82,7 +92,7 @@ def unpack_int4(packed: jnp.ndarray, group_size: int | None = None) -> jnp.ndarr
     g = group_size if group_size else 2 * K2
     p = packed.astype(jnp.uint8).reshape(2 * K2 // g, g // 2, *packed.shape[1:])
     lo = p & jnp.uint8(0xF)
-    hi = p >> 4
+    hi = (p >> 4) ^ jnp.uint8(8)  # undo the excess-8 storage (pack_int4)
     out = jnp.concatenate([lo, hi], axis=1)
     return out.reshape(2 * K2, *packed.shape[1:])
 

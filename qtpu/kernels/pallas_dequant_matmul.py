@@ -84,6 +84,7 @@ def _dq_matmul_acc(
     for c in range(n_groups):  # static unroll; all indices static
         s = s_ref[c, :][None, :].astype(jnp.float32)  # [1, bn]
         xg = x[:, c * group : (c + 1) * group]
+        hi_bias = None  # excess-8 hi-field bias, folded into the correction
         if (
             bits == 4
             and split_dots
@@ -91,24 +92,45 @@ def _dq_matmul_acc(
         ):
             # bf16-ARITHMETIC nibble extraction: ONE int8→bf16 convert then
             # float ops (every integer ≤ 256 is exact in bf16's 8
-            # significand bits) — no i32 round trip (4× register traffic)
-            # and no int8 shifts (Mosaic rejects arith.shrsi on i8).
-            # (and no packed-bf16 compares — Mosaic also rejects
-            # arith.cmpf on 8x128x2xbf16):
-            #   hs = ⌊v/16⌋ ∈ [−8, 7];  lo = v − 16·hs ∈ [0, 15]
-            #   hi = hs − 16·⌊hs/16⌋ ∈ [0, 15]   (mod-16 sign fix)
+            # significand bits) — no i32 round trip and no int8 shifts
+            # (Mosaic rejects arith.shrsi on i8). With the excess-8 hi
+            # storage the byte IS lo + 16·(q_hi − 8), so
+            #   hs = ⌊v/16⌋ = q_hi − 8;  lo = v − 16·hs ∈ [0, 15]
+            # and no mod-16 sign fix is needed (3 ALU ops total).
             h = group // 2
             lo_row = c * h
             f = d_ref[lo_row : lo_row + h, :].astype(jnp.bfloat16)
-            hs = jnp.floor(f * (1.0 / 16.0))
+            hs = jnp.floor(f * (1.0 / 16.0))  # = q_hi − 8
             lo = f - 16.0 * hs
-            hi = hs - 16.0 * jnp.floor(hs * (1.0 / 16.0))
             part = jnp.dot(
                 xg[:, :h], lo.astype(x.dtype), preferred_element_type=jnp.float32
             ) + jnp.dot(
-                xg[:, h:], hi.astype(x.dtype), preferred_element_type=jnp.float32
+                xg[:, h:], hs.astype(x.dtype), preferred_element_type=jnp.float32
             )
-        elif bits in (2, 4) and split_dots and not _F32_UNPACK:
+            hi_bias = 8.0 * jnp.sum(
+                xg[:, h:].astype(jnp.float32), axis=1, keepdims=True
+            )
+        elif bits == 4 and split_dots and not _F32_UNPACK:
+            # Split-dot unpack with the EXCESS-8 hi field: the hi codes
+            # come out of ONE sign-extending shift as q_hi − 8 (no mask —
+            # the W4 unpack is the binding VPU cost at decode, measured
+            # 472 vs 702 GB/s effective for W8 at identical shapes), and
+            # the −8 bias folds into the per-group zero correction below.
+            h = group // 2
+            pu = d_ref[c * h : (c + 1) * h, :].astype(jnp.int32)
+            part = jnp.dot(
+                xg[:, :h],
+                (pu & 0xF).astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ) + jnp.dot(
+                xg[:, h:],
+                jax.lax.shift_right_arithmetic(pu, 4).astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            hi_bias = 8.0 * jnp.sum(
+                xg[:, h:].astype(jnp.float32), axis=1, keepdims=True
+            )
+        elif bits == 2 and split_dots and not _F32_UNPACK:
             # Split-dot unpack: one MXU dot per bit-field instead of
             # concatenating unpacked fields into one [group, bn] operand.
             # The concatenate was pure VPU copy work, and the low field
@@ -118,15 +140,15 @@ def _dq_matmul_acc(
             # gate/up site [8, 2048]×[2048, 11264] on v5e vs the
             # concat+single-dot chain. Same math: each dot accumulates
             # f32; only the f32 add order across fields differs.
-            n_sub = 8 // bits
+            n_sub = 4
             h = group // n_sub
-            mask = (1 << bits) - 1
-            lo = c * (group // n_sub)
-            pu = d_ref[lo : lo + group // n_sub, :].astype(jnp.int32)
+            mask = 0x3
+            lo = c * h
+            pu = d_ref[lo : lo + h, :].astype(jnp.int32)
             part = None
             for i in range(n_sub):  # field i = rows [i·h, (i+1)·h)
                 codes = (
-                    jax.lax.shift_right_arithmetic(pu, bits * i) & mask
+                    jax.lax.shift_right_arithmetic(pu, 2 * i) & mask
                     if i
                     else pu & mask
                 )
@@ -141,19 +163,20 @@ def _dq_matmul_acc(
                 packed = d_ref[c * (group // 2) : (c + 1) * (group // 2), :]
                 # f32-arithmetic unpack: one sitofp then float ops — kept
                 # as a measurable alternative (QTPU_F32_UNPACK=1); slower
-                # than split-dots on v5e
+                # than split-dots on v5e. The signed byte IS
+                # lo + 16·(q_hi − 8) under excess-8 storage.
                 f = packed.astype(jnp.float32)
-                u = jnp.where(f < 0, f + 256.0, f)  # undo int8 sign
-                hi = jnp.floor(u * (1.0 / 16.0))
-                lo = u - 16.0 * hi
-                q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] f32
+                hs = jnp.floor(f * (1.0 / 16.0))  # = q_hi − 8
+                lo = f - 16.0 * hs
+                q = jnp.concatenate([lo, hs + 8.0], axis=0)  # [group, bn]
             elif bits == 4:
-                # concat chain: full-group contraction feeds the MXU
+                # concat chain: full-group contraction feeds the MXU;
+                # unsigned-domain recovery of the excess-8 hi is one XOR
                 pu = d_ref[
                     c * (group // 2) : (c + 1) * (group // 2), :
                 ].astype(jnp.int32) & 0xFF
                 lo = pu & 0xF
-                hi = jax.lax.shift_right_arithmetic(pu, 4) & 0xF
+                hi = jax.lax.shift_right_arithmetic(pu, 4) ^ 8
                 q = jnp.concatenate([lo, hi], axis=0)  # [group, bn]
             elif bits == 2:
                 packed = d_ref[c * (group // 4) : (c + 1) * (group // 4), :]
@@ -174,7 +197,10 @@ def _dq_matmul_acc(
         else:
             z = float(2 ** (bits - 1))
         sum_x = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        part = part * s - (sum_x * z) * s
+        corr = sum_x * z
+        if hi_bias is not None:  # excess-8 hi codes carried a −8 bias
+            corr = corr - hi_bias
+        part = part * s - corr * s
         acc = part if acc is None else acc + part
     return acc
 
@@ -215,7 +241,7 @@ def _cb_matmul_kernel(x_ref, d_ref, s_ref, cb_ref, o_ref, *, group, K, n_levels)
         packed = d_ref[c * (group // 2) : (c + 1) * (group // 2), :]
         pu = packed.astype(jnp.int32) & 0xFF
         lo = pu & 0xF
-        hi = jax.lax.shift_right_arithmetic(pu, 4) & 0xF
+        hi = jax.lax.shift_right_arithmetic(pu, 4) ^ 8  # excess-8 storage
         q = jnp.concatenate([lo, hi], axis=0)  # [group, bn] codes
         vals = jnp.full(q.shape, cb_ref[0, 0], jnp.float32)
         for l in range(1, n_levels):

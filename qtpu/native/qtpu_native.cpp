@@ -33,7 +33,7 @@ void qtpu_pack_int4(const uint8_t* q, int64_t K, int64_t N, int64_t g,
       const uint8_t* hi = q + (c * g + half + j) * N;
       int8_t* dst = out + (c * half + j) * N;
       for (int64_t n = 0; n < N; ++n) {
-        dst[n] = (int8_t)((lo[n] & 0xF) | ((hi[n] & 0xF) << 4));
+        dst[n] = (int8_t)((lo[n] & 0xF) | (((hi[n] ^ 8) & 0xF) << 4));
       }
     }
   }
@@ -52,7 +52,7 @@ void qtpu_unpack_int4(const int8_t* packed, int64_t K, int64_t N, int64_t g,
       uint8_t* hi = out + (c * g + half + j) * N;
       for (int64_t n = 0; n < N; ++n) {
         lo[n] = src[n] & 0xF;
-        hi[n] = (src[n] >> 4) & 0xF;
+        hi[n] = ((src[n] >> 4) & 0xF) ^ 8;  /* excess-8 hi (see packing.py) */
       }
     }
   }
@@ -92,7 +92,7 @@ void qtpu_quantize_pack(const float* w, int64_t K, int64_t N, int64_t g,
           float qlo = std::min(std::max(std::nearbyint(vlo / scale) + zero, 0.0f), max_int);
           float qhi = std::min(std::max(std::nearbyint(vhi / scale) + zero, 0.0f), max_int);
           data[(c * half + j) * N + n] =
-              (int8_t)(((uint8_t)qlo & 0xF) | (((uint8_t)qhi & 0xF) << 4));
+              (int8_t)(((uint8_t)qlo & 0xF) | ((((uint8_t)qhi ^ 8) & 0xF) << 4));
         }
       } else {  // bits == 8
         for (int64_t j = 0; j < g; ++j) {
