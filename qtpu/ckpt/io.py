@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qtpu.core.packing import PACK_FORMAT
+
 _SEP = "::"
 
 
@@ -70,6 +72,7 @@ def save_quantized(out_dir, params, qmeta=None, meta: dict | None = None):
     with open(out / "meta.json", "w") as f:
         json.dump(
             {
+                "pack_format": PACK_FORMAT,
                 "qmeta": [[s, list(m)] for s, m in (qmeta or ())],
                 "dtypes": dtypes,
                 "meta": meta or {},
@@ -85,6 +88,15 @@ def load_quantized(in_dir):
     ind = Path(in_dir)
     with open(ind / "meta.json") as f:
         info = json.load(f)
+    fmt = int(info.get("pack_format", 1))
+    if fmt not in (1, PACK_FORMAT):
+        raise ValueError(
+            f"checkpoint pack_format={fmt} is newer than this qtpu "
+            f"(supports <= {PACK_FORMAT}); upgrade qtpu to load it"
+        )
+    qmeta = tuple((s, tuple(m)) for s, m in info.get("qmeta", [])) or None
+    # sites whose packed int4 bytes need the v1 -> v2 hi-nibble migration
+    w4_sites = {s for s, m in (qmeta or ()) if int(m[0]) == 4}
     data = np.load(ind / "params.npz")
     flat = {}
     for k in data.files:
@@ -92,8 +104,13 @@ def load_quantized(in_dir):
         if info["dtypes"].get(k) == "bfloat16":
             a = jnp.asarray(a.view(np.uint16)).view(jnp.bfloat16)
         else:
+            if fmt < 2 and a.dtype == np.int8:
+                parts = k.split(_SEP)
+                if len(parts) >= 2 and parts[-1] == "data" and parts[-2] in w4_sites:
+                    # v1 stored (lo | hi << 4); v2 stores (lo | (hi^8) << 4)
+                    # — equivalently byte ^ 0x80
+                    a = (a.view(np.uint8) ^ np.uint8(0x80)).view(np.int8)
             a = jnp.asarray(a)
         flat[k] = a
     params = _unflatten(flat)
-    qmeta = tuple((s, tuple(m)) for s, m in info.get("qmeta", [])) or None
     return params, qmeta, info.get("meta", {})

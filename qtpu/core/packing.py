@@ -24,6 +24,14 @@ import jax.numpy as jnp
 
 from qtpu.core.dtypes import SCALE_DTYPE
 
+# Persisted packed-byte format version (stored in checkpoint meta.json).
+#   1: plain two-nibble int4 packing (lo | hi << 4), both nibbles unsigned
+#   2: excess-8 hi nibble (lo | (hi ^ 8) << 4) — see pack_int4
+# W8 / W2 layouts are identical across versions; only int4 bytes differ
+# (version-1 bytes load under version 2 with every hi nibble read as
+# code ^ 8). qtpu.ckpt auto-migrates v1 artifacts on load.
+PACK_FORMAT = 2
+
 
 def pack_int4(q: jnp.ndarray, group_size: int | None = None) -> jnp.ndarray:
     """Pack uint4 values (range [0,15]) along axis 0 into int8 bytes using a

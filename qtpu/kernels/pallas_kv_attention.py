@@ -585,10 +585,12 @@ def pallas_decode_attention_write_banded(
         return (b, h, jnp.clip(pos[b], 0, S - 1) // 8, 0)
 
     def ix_sband(b, h, pos):
-        return (b, 0, h, jnp.clip(pos[b], 0, S - 1) // SB)
+        # scales ride as [B, KV/kb, kb, S]: dim1 is the head-group axis
+        # (grid index h), dim2 spans the kb heads of the block (always 0)
+        return (b, h, 0, jnp.clip(pos[b], 0, S - 1) // SB)
 
     def ix_s(b, h, pos):
-        return (b, 0, h, 0)
+        return (b, h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

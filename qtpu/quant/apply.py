@@ -23,6 +23,7 @@ import numpy as _np
 from qtpu.calib.stats import CalibStats
 from qtpu.core.packing import quantize_pack
 from qtpu.models import get_arch
+from qtpu.quant.parity_grids import PARITY_GRIDS, PARITY_RANGE
 from qtpu.quant.apot import apot_quantize_codes, apot_quantize_tensor
 from qtpu.quant.awq import _protection_scale_vec, awq_quantize, awq_search_scale_factor
 from qtpu.quant.gptq import (
@@ -62,26 +63,20 @@ def _parity_grid(
     (pot_apot_quantizer.py:258-261). Parity needs the BIT-EXACT values:
     torch.arange rounds differently from np.arange and the 1-ulp grid
     differences measurably move which scale wins the SSE race (0.23 ppl on
-    the crosscheck). torch generates the values when importable; the
-    float64-arange fallback is <=1 ulp off. Setting grid_step or
-    reference_grid=false in the method config leaves parity mode (the
-    finer grid is the improvement mode; it beat the reference by 17 ppl
-    on the W4 crosscheck)."""
+    the crosscheck). The three reference grids are frozen bit tables
+    (qtpu.quant.parity_grids — no torch dependency, identical in every
+    environment). Setting grid_step or reference_grid=false in the method
+    config leaves parity mode (the finer grid is the improvement mode; it
+    beat the reference by 17 ppl on the W4 crosscheck)."""
     lo, hi = mcfg.get("grid_search_range", [0.01, 2.01])
     step = mcfg.get("grid_step")
     if step is None:
         step = default_step
         if n_elements is not None and bool(mcfg.get("reference_grid", True)):
             step = 0.1 if n_elements > 500_000 else 0.05
-    try:
-        import torch
-
-        vals = torch.arange(float(lo), float(hi), float(step)).numpy()
-        vals = vals.astype(_np.float32)
-    except ImportError:
-        vals = _np.arange(float(lo), float(hi), float(step)).astype(
-            _np.float32
-        )
+    if (float(lo), float(hi)) == PARITY_RANGE and float(step) in PARITY_GRIDS:
+        return PARITY_GRIDS[float(step)]
+    vals = _np.arange(float(lo), float(hi), float(step)).astype(_np.float32)
     return tuple(float(v) for v in vals)
 
 

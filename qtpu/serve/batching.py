@@ -380,7 +380,10 @@ class ContinuousBatcher:
                 # configured block so slots free / chunks interleave fast.
                 block = self.decode_block
                 if not self.queue:
-                    remaining = max(
+                    # cap at the MINIMUM remaining across active slots: a
+                    # slot one token from done must not ride out a 64-step
+                    # block of masked writes and garbage appends
+                    remaining = min(
                         self.slots[i].max_new_tokens
                         - len(self.slots[i].output)
                         for i in active

@@ -641,6 +641,49 @@ def test_pallas_banded_write_matches_full():
     assert err / scale < 3e-2, (err, scale)
 
 
+def test_pallas_banded_write_kb_lt_kv():
+    """Banded kernel with a head-blocked grid (kb < KV): the scale-array
+    index maps must address [B, KV/kb, kb, S] as (b, h, 0, band) — the
+    (b, 0, h, band) swap read group 0's scales for every head group.
+    Shapes chosen so the 5 MB VMEM budget forces kb=4 < KV=8."""
+    import jax
+
+    from qtpu.kernels.pallas_kv_attention import (
+        pallas_decode_attention_write,
+        pallas_decode_attention_write_banded,
+    )
+
+    B, KV, G, hd, S = 2, 8, 1, 128, 4096
+    H = KV * G
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.bfloat16)
+    k_new = jax.random.normal(ks[1], (B, 1, KV, hd), jnp.bfloat16)
+    v_new = jax.random.normal(ks[2], (B, 1, KV, hd), jnp.bfloat16)
+    k_c = jax.random.randint(ks[3], (B, KV, S, hd), -127, 127, jnp.int8)
+    v_c = jax.random.randint(ks[4], (B, KV, S, hd), -127, 127, jnp.int8)
+    # scales vary strongly BY HEAD so a cross-group read is caught
+    head_amp = (jnp.arange(KV, dtype=jnp.float32) + 1.0)[None, :, None]
+    ks_c = (jnp.abs(jax.random.normal(ks[5], (B, KV, S))) * 0.01 + 1e-3) * head_amp
+    vs_c = (jnp.abs(jax.random.normal(ks[6], (B, KV, S))) * 0.01 + 1e-3) * head_amp
+    pos = jnp.asarray([700, S + 5], jnp.int32)  # one active, one inactive
+
+    o_f, kf, vf, ksf, vsf = pallas_decode_attention_write(
+        q, k_new, v_new, jnp.array(k_c), jnp.array(v_c), jnp.array(ks_c),
+        jnp.array(vs_c), pos, interpret=True
+    )
+    o_b, kb_, vb, ksb, vsb = pallas_decode_attention_write_banded(
+        q, k_new, v_new, jnp.array(k_c), jnp.array(v_c), jnp.array(ks_c),
+        jnp.array(vs_c), pos, interpret=True
+    )
+    assert jnp.array_equal(kf, kb_), "k cache mismatch"
+    assert jnp.array_equal(vf, vb), "v cache mismatch"
+    assert jnp.array_equal(ksf, ksb), "k scales mismatch"
+    assert jnp.array_equal(vsf, vsb), "v scales mismatch"
+    err = float(jnp.max(jnp.abs((o_f - o_b).astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(o_f.astype(jnp.float32)))) + 1e-6
+    assert err / scale < 3e-2, (err, scale)
+
+
 def test_pallas_flash_decode_matches_full():
     """S-blocked online-softmax decode (+in-place block write) == the
     full-tile write+attend kernel."""
