@@ -106,11 +106,15 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> dict:
     return params
 
 
-def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
+def _layer_fwd(
+    x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta, attn_impl=None
+):
     """One decoder layer. Returns (x_out, stats dict or None).
 
     qmeta: None, or a dict site → (bits, group, K, N) for sites whose
-    params are packed (static at trace time)."""
+    params are packed (static at trace time). attn_impl: optional
+    (q, k, v, window) -> [B, S, H·hd] attention override (mask is None
+    then — e.g. sharding.ring_attention for seq-parallel prefill)."""
     cos, sin = rope
     B, S, D = x.shape
     stats = {}
@@ -123,7 +127,10 @@ def _layer_fwd(x, lp, cfg: ModelConfig, rope, mask, capture: str, qmeta):
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     win = cfg.sliding_window if 0 < cfg.sliding_window < x.shape[1] else 0
-    attn = causal_attention(q, k, v, mask, window=win)
+    if attn_impl is None:
+        attn = causal_attention(q, k, v, mask, window=win)
+    else:
+        attn = attn_impl(q, k, v, win)
     if capture != "none":
         stats["o_in"] = _collect(attn, capture)
     x = x + linear(attn, lp["o_proj"], qm("o_proj"))
@@ -706,20 +713,24 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
     return logits, new_cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "capture", "qmeta"))
+@partial(jax.jit, static_argnames=("cfg", "capture", "qmeta", "attn_impl"))
 def forward(
     params: dict,
     input_ids: jnp.ndarray,
     cfg: ModelConfig,
     capture: str = "none",
     qmeta=None,
+    attn_impl=None,
 ):
     """Full-sequence causal forward.
 
     input_ids [B, S] → logits [B, S, V]. With capture != "none" also returns
     a stats pytree: {input_site: {stat: [L, ...]}} stacked over layers.
     qmeta: optional tuple of (site, (bits, group, K, N)) pairs for packed
-    sites — hashable so it can be a static jit arg.
+    sites — hashable so it can be a static jit arg. attn_impl: optional
+    (q, k, v, window) -> [B, S, H·hd] attention override; no [S, S] mask
+    is built then (seq-parallel ring attention derives causality from
+    global positions — an S=32k mask would be 1 GB).
     """
     qmeta_d = dict(qmeta) if qmeta is not None else None
     B, S = input_ids.shape
@@ -732,16 +743,22 @@ def forward(
     t0 = (input_ids[0, 0] * 0).astype(jnp.int32)
     positions = jnp.arange(S) + t0
     rope = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-    mask = jnp.arange(S)[None, :] <= positions[:, None]
-    # Mistral/Qwen2 sliding window: key within the last `window` positions.
-    # Applied only when it can bind at this S (static), so full-causal
-    # models and short sequences keep the unbanded mask + flash kernel.
-    if 0 < cfg.sliding_window < S:
-        mask &= jnp.arange(S)[None, :] > positions[:, None] - cfg.sliding_window
-    mask = mask[None, None, :, :]
+    if attn_impl is None:
+        mask = jnp.arange(S)[None, :] <= positions[:, None]
+        # Mistral/Qwen2 sliding window: key within the last `window`
+        # positions. Applied only when it can bind at this S (static), so
+        # full-causal models and short sequences keep the unbanded mask +
+        # flash kernel.
+        if 0 < cfg.sliding_window < S:
+            mask &= jnp.arange(S)[None, :] > positions[:, None] - cfg.sliding_window
+        mask = mask[None, None, :, :]
+    else:
+        mask = None
 
     def body(x, lp):
-        x_out, stats = _layer_fwd(x, lp, cfg, rope, mask, capture, qmeta_d)
+        x_out, stats = _layer_fwd(
+            x, lp, cfg, rope, mask, capture, qmeta_d, attn_impl
+        )
         return x_out, stats
 
     x, layer_stats = jax.lax.scan(body, x, params["layers"])
