@@ -110,6 +110,56 @@ def _dq_matmul_acc(
             hi_bias = 8.0 * jnp.sum(
                 xg[:, h:].astype(jnp.float32), axis=1, keepdims=True
             )
+        elif (
+            bits == 4
+            and split_dots
+            and os.environ.get("QTPU_UNPACK", "i32") in ("vtrick", "vtrick16", "lomix")
+        ):
+            # RAW-BYTE split dots: never isolate the lo nibble. With the
+            # excess-8 storage the byte value IS v = lo + 16·h_s
+            # (h_s = q_hi − 8), so
+            #   x_lo@lo + x_hi@h_s = x_lo@v + (x_hi − 16·x_lo)@h_s
+            # — algebraically identical to the masked form (the bias
+            # correction below is unchanged), but the big [h, bn] tile
+            # needs only v (ONE direct i8→bf16 convert) and h_s; the
+            # 16-fold x mix happens on the tiny [bm, h] activation tile.
+            # 'vtrick': h_s via i32 arithmetic shift (2 ops + convert);
+            # 'vtrick16': h_s = floor(v/16) in bf16 (2 VPU ops, no i32).
+            h = group // 2
+            pu8 = d_ref[c * h : (c + 1) * h, :]
+            v_b = pu8.astype(x.dtype)  # |v| ≤ 128, exact in bf16
+            if os.environ["QTPU_UNPACK"] == "lomix":
+                # h_s = (v − lo)/16 ⇒ x_lo@lo + x_hi@h_s =
+                #   (x_lo − x_hi/16)@lo + (x_hi@v)/16.
+                # The 1/16-damped mix keeps bf16 mix rounding ~16× below
+                # the signal (the 16·x_lo form amplified it to ~2% — see
+                # vtrick note below); still drops the SRA from the big
+                # tile (lo: convert+AND+convert; v: one convert).
+                lo_b = (pu8.astype(jnp.int32) & 0xF).astype(x.dtype)
+                xlo_mix = xg[:, :h] - xg[:, h:] * 0.0625
+                part = jnp.dot(
+                    xlo_mix, lo_b, preferred_element_type=jnp.float32
+                ) + 0.0625 * jnp.dot(
+                    xg[:, h:], v_b, preferred_element_type=jnp.float32
+                )
+            else:
+                # raw-byte form: x_lo@v + (x_hi − 16·x_lo)@h_s. One
+                # convert for the big tile's v, but the ×16 mix amplifies
+                # bf16 rounding of the x tile ~16× (measured 2.3% rel
+                # error) — kept for measurement, not for serving.
+                if os.environ["QTPU_UNPACK"] == "vtrick16":
+                    hs = jnp.floor(v_b * jnp.asarray(1.0 / 16.0, x.dtype))
+                else:
+                    hs = jax.lax.shift_right_arithmetic(
+                        pu8.astype(jnp.int32), 4
+                    ).astype(x.dtype)
+                xmix = xg[:, h:] - 16.0 * xg[:, :h]
+                part = jnp.dot(
+                    xg[:, :h], v_b, preferred_element_type=jnp.float32
+                ) + jnp.dot(xmix, hs, preferred_element_type=jnp.float32)
+            hi_bias = 8.0 * jnp.sum(
+                xg[:, h:].astype(jnp.float32), axis=1, keepdims=True
+            )
         elif bits == 4 and split_dots and not _F32_UNPACK:
             # Split-dot unpack with the EXCESS-8 hi field: the hi codes
             # come out of ONE sign-extending shift as q_hi − 8 (no mask —

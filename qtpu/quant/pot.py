@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qtpu.quant.pot_log2_table import LOG2_ROUND_UP_BITS
+
 _TINY = float(np.finfo(np.float32).tiny)
 
 
@@ -66,12 +68,130 @@ def _df_less(ah, al, bh, bl):
     return (ah < bh) | ((ah == bh) & (al < bl))
 
 
+def _sse_torch_cpu(d, axis):
+    """f32 sum of d·d over `axis` in the EXACT summation order of torch-CPU
+    (the reference's eval backend), reverse-engineered and verified
+    bit-exact at L ∈ {16..256} (r5): 8-wide vector lanes, FOUR interleaved
+    accumulators (chunk i → acc i mod 4, each accumulated sequentially),
+    accumulators combined ((a0+a1)+a2)+a3, then the 8 lanes reduced
+    sequentially.
+
+    Why not the double-float exact sum (_sse_df): the scale search picks
+    argmin over candidates whose reconstructions can be quantization-
+    equivalent near-ties; torch's f32 sum ROUNDS those SSEs, and its
+    rounded ordering — not the true ordering — decides the reference's
+    pick. At W8 (clamped-scale regime, many near-duplicate candidates)
+    the df-exact ordering diverged in every group (±0.5 ppl crosscheck);
+    replaying torch's adds makes the race bit-identical. Requires the
+    reduced length to be a multiple of 8 (callers fall back to _sse_df
+    otherwise). All adds are explicit HLO ops — XLA does not reassociate
+    f32 arithmetic."""
+    sq = (d * d).astype(jnp.float32)
+    x = jnp.moveaxis(sq, axis, -1)
+    g = x.shape[-1]
+    n = g // 8
+    x = x.reshape(x.shape[:-1] + (n, 8))
+    if n >= 4:
+        accs = [x[..., i, :] for i in range(4)]
+        for i in range(4, n):
+            accs[i % 4] = accs[i % 4] + x[..., i, :]
+        a = ((accs[0] + accs[1]) + accs[2]) + accs[3]
+    else:
+        a = x[..., 0, :]
+        for i in range(1, n):
+            a = a + x[..., i, :]
+    s = a[..., 0]
+    for l in range(1, 8):
+        s = s + a[..., l]
+    return jnp.expand_dims(s, axis)
+
+
+
+def _exact_pow2(E):
+    """Exact f32 2^E for integer-valued E in [−126, 127], via the IEEE-754
+    exponent field. XLA's exp2 is 1 ulp off at 108 of the 128 exponents a
+    W8 POT code can take (measured r5, CPU backend) — enough to shift
+    every reconstructed weight and break bit-parity with torch, whose pow
+    IS exact on powers of two."""
+    Ei = jnp.clip(E.astype(jnp.int32), -126, 127)
+    return jax.lax.bitcast_convert_type((Ei + 127) << 23, jnp.float32)
+
+
+def _pot_round_log2(ratio, e_max_idx):
+    """E = clamp(round(log2f(ratio)), 0, e_max_idx) with the REFERENCE's
+    exact boundary behavior, no transcendental.
+
+    torch's log2 (Sleef, ≤1 ulp) lands whole plateaus of mantissas exactly
+    on half-integers k+0.5 which round() then resolves half-to-even; XLA's
+    log2 rounds those mantissas differently (−0.51 ppl on the W8
+    crosscheck, where E spans [0,127] and plateaus are wide). With
+    ratio = m·2^e decomposed exactly from the bits, the decision is a pure
+    per-exponent mantissa-threshold compare:
+    E = e + (mantissa_bits ≥ LOG2_ROUND_UP_BITS[e]) — see
+    quant.pot_log2_table. ratio must be positive and normal (the callers
+    clip to ≥ 1e-10)."""
+    bits = jax.lax.bitcast_convert_type(
+        ratio.astype(jnp.float32), jnp.int32
+    )
+    e = (bits >> 23) - 127
+    mant = bits & 0x7FFFFF
+    table = jnp.asarray(LOG2_ROUND_UP_BITS.view(np.int32))
+    up = jnp.take(table, jnp.clip(e, 0, 126))
+    E = e + (mant >= up).astype(jnp.int32)
+    return jnp.clip(E, 0, e_max_idx)
+
 
 def _pot_reconstruct(w, s, e_max_idx):
     """w_q = s * sign(w) * 2^clamp(round(log2(|w|/s)), 0, e_max_idx)."""
     ratio = jnp.clip(jnp.abs(w) / s, 1e-10, None)
-    E = jnp.clip(jnp.round(jnp.log2(ratio)), 0, e_max_idx)
-    return s * jnp.sign(w) * jnp.exp2(E)
+    E = _pot_round_log2(ratio, e_max_idx)
+    return s * jnp.sign(w) * _exact_pow2(E)
+
+
+def _scale_search(w, s0, candidates, e_max_idx, axis):
+    """Grid-search the best scale multiplier (reference race semantics).
+
+    When the group length divides by 8, the SSE race replays torch-CPU's
+    exact f32 summation + strict-less keep-first comparison
+    (_sse_torch_cpu) — bit-identical picks to the reference. Otherwise
+    the double-float exact-sum order (_sse_df) decides."""
+    shp = w.shape[:axis] + (1,) + w.shape[axis + 1 :]
+    if w.shape[axis] % 8 == 0:
+
+        def step(carry, c):
+            be, bs = carry
+            s_c = jnp.clip(s0 * c, _TINY, None)
+            w_q = _pot_reconstruct(w, s_c, e_max_idx)
+            e = _sse_torch_cpu(w - w_q, axis)
+            take = e < be
+            return (
+                jnp.where(take, e, be),
+                jnp.where(take, s_c, bs),
+            ), None
+
+        init = (jnp.full(shp, jnp.inf, jnp.float32), s0)
+        (_, best), _ = jax.lax.scan(step, init, candidates)
+        return best
+
+    def step_df(carry, c):
+        bh, bl, bs = carry
+        s_c = jnp.clip(s0 * c, _TINY, None)
+        w_q = _pot_reconstruct(w, s_c, e_max_idx)
+        eh, el = _sse_df(w - w_q, axis)
+        take = _df_less(eh, el, bh, bl)
+        return (
+            jnp.where(take, eh, bh),
+            jnp.where(take, el, bl),
+            jnp.where(take, s_c, bs),
+        ), None
+
+    init = (
+        jnp.full(shp, jnp.inf, jnp.float32),
+        jnp.zeros(shp, jnp.float32),
+        s0,
+    )
+    (_, _, best), _ = jax.lax.scan(step_df, init, candidates)
+    return best
 
 
 @partial(
@@ -108,7 +228,7 @@ def pot_quantize_tensor(
     max_val = jnp.max(jnp.abs(w), axis=1, keepdims=True)
     max_val_safe = jnp.clip(max_val, 1e-12, None)
     e_min = jnp.floor(jnp.log2(max_val_safe)) - e_max_idx
-    s0 = jnp.clip(jnp.exp2(e_min), _TINY, None)
+    s0 = jnp.where(e_min >= -126.0, _exact_pow2(e_min), _TINY)
 
     if grid_values is not None:
         candidates = jnp.asarray(np.array(grid_values, dtype=np.float32))
@@ -116,25 +236,7 @@ def pot_quantize_tensor(
         start, stop, step = grid
         candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
-    def scan_step(carry, c):
-        bh, bl, best_scale = carry
-        s_c = jnp.clip(s0 * c, _TINY, None)
-        w_q = _pot_reconstruct(w, s_c, e_max_idx)
-        eh, el = _sse_df(w - w_q, 1)
-        take = _df_less(eh, el, bh, bl)
-        return (
-            jnp.where(take, eh, bh),
-            jnp.where(take, el, bl),
-            jnp.where(take, s_c, best_scale),
-        ), None
-
-    shp = (w.shape[0], 1)
-    init = (
-        jnp.full(shp, jnp.inf, jnp.float32),
-        jnp.zeros(shp, jnp.float32),
-        s0,
-    )
-    (_, _, best_scale), _ = jax.lax.scan(scan_step, init, candidates)
+    best_scale = _scale_search(w, s0, candidates, e_max_idx, 1)
 
     best_scale = jnp.clip(best_scale, _TINY, None)
     w_q = _pot_reconstruct(w, best_scale, e_max_idx)
@@ -145,7 +247,7 @@ def pot_codebook(n_bit: int) -> jnp.ndarray:
     """Level table for POT codes: index = signbit<<(b−1) | E →
     (1 − 2·signbit)·2^E."""
     nl = 2 ** (n_bit - 1)
-    pos = jnp.exp2(jnp.arange(nl, dtype=jnp.float32))
+    pos = _exact_pow2(jnp.arange(nl, dtype=jnp.float32))
     return jnp.concatenate([pos, -pos])
 
 
@@ -175,7 +277,7 @@ def pot_quantize_codes(
 
     max_val = jnp.max(jnp.abs(w), axis=1, keepdims=True)
     e_min = jnp.floor(jnp.log2(jnp.clip(max_val, 1e-12, None))) - e_max_idx
-    s0 = jnp.clip(jnp.exp2(e_min), _TINY, None)
+    s0 = jnp.where(e_min >= -126.0, _exact_pow2(e_min), _TINY)
 
     if grid_values is not None:
         candidates = jnp.asarray(np.array(grid_values, dtype=np.float32))
@@ -183,29 +285,11 @@ def pot_quantize_codes(
         start, stop, step = grid
         candidates = jnp.asarray(np.arange(start, stop, step, dtype=np.float32))
 
-    def scan_step(carry, c):
-        bh, bl, best_scale = carry
-        s_c = jnp.clip(s0 * c, _TINY, None)
-        w_q = _pot_reconstruct(w, s_c, e_max_idx)
-        eh, el = _sse_df(w - w_q, 1)
-        take = _df_less(eh, el, bh, bl)
-        return (
-            jnp.where(take, eh, bh),
-            jnp.where(take, el, bl),
-            jnp.where(take, s_c, best_scale),
-        ), None
-
-    shp = (K // g, 1, N)
-    init = (
-        jnp.full(shp, jnp.inf, jnp.float32),
-        jnp.zeros(shp, jnp.float32),
-        s0,
-    )
-    (_, _, s), _ = jax.lax.scan(scan_step, init, candidates)
+    s = _scale_search(w, s0, candidates, e_max_idx, 1)
     s = jnp.clip(s, _TINY, None)
 
     ratio = jnp.clip(jnp.abs(w) / s, 1e-10, None)
-    E = jnp.clip(jnp.round(jnp.log2(ratio)), 0, e_max_idx).astype(jnp.int32)
+    E = _pot_round_log2(ratio, e_max_idx)
     signbit = (w < 0).astype(jnp.int32)
     codes = (signbit << (n_bit - 1)) | E
     return (

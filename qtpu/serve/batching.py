@@ -204,6 +204,11 @@ class ContinuousBatcher:
         prefill_parallel: int | None = None,
         kv_layout: str | None = None,
     ):
+        # cold-start: persist compiled engine programs across processes
+        # (the zoo is minutes of compile; see utils.compcache)
+        from qtpu.utils.compcache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.params = params
         self.cfg = cfg
         self.arch = cfg.arch
