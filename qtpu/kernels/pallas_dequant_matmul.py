@@ -35,12 +35,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# nibble-unpack strategy (see kernel body). Default is split-dots: one
-# MXU dot per packed bit-field, no concatenate — measured ~3× faster than
-# the concat+single-dot i32 chain at wide-N decode shapes on v5e (which
-# itself beat the f32 floor-arithmetic variant, 1750 vs 1634 decode
-# tokens/s). Flip with QTPU_F32_UNPACK=1 to re-measure the f32 variant on
-# other hardware.
+# nibble-unpack strategy (see kernel body). Default "lomix" (r5): raw-
+# byte + lo-nibble split dots with the 1/16-damped x mix — 1.086 vs
+# 1.126 ms for the B=8 decode matmul chain against the i32 mask+shift
+# form on v5e (results/w4_unpack_floor.json has the ladder). QTPU_UNPACK
+# selects i32 / vtrick / bf16 alternatives; QTPU_F32_UNPACK=1 re-measures
+# the f32 floor-arithmetic variant on other hardware.
 _F32_UNPACK = os.environ.get("QTPU_F32_UNPACK", "0") == "1"
 
 
@@ -88,6 +88,20 @@ def _dq_matmul_acc(
         if (
             bits == 4
             and split_dots
+            and os.environ.get("QTPU_NOUNPACK_TIMING") == "1"
+        ):
+            # TIMING-ONLY floor probe (tools/make_unpack_floor.py): raw
+            # packed bytes into both split dots — WRONG MATH, identical
+            # traffic and dot structure. The hard floor of any in-kernel
+            # field-isolation scheme (1 convert, 0 isolation ops).
+            h = group // 2
+            v_b = d_ref[c * h : (c + 1) * h, :].astype(x.dtype)
+            part = jnp.dot(
+                xg[:, :h], v_b, preferred_element_type=jnp.float32
+            ) + jnp.dot(xg[:, h:], v_b, preferred_element_type=jnp.float32)
+        elif (
+            bits == 4
+            and split_dots
             and os.environ.get("QTPU_UNPACK", "i32") == "bf16"
         ):
             # bf16-ARITHMETIC nibble extraction: ONE int8→bf16 convert then
@@ -113,7 +127,7 @@ def _dq_matmul_acc(
         elif (
             bits == 4
             and split_dots
-            and os.environ.get("QTPU_UNPACK", "i32") in ("vtrick", "vtrick16", "lomix")
+            and os.environ.get("QTPU_UNPACK", "lomix") in ("vtrick", "vtrick16", "lomix")
         ):
             # RAW-BYTE split dots: never isolate the lo nibble. With the
             # excess-8 storage the byte value IS v = lo + 16·h_s
@@ -128,7 +142,7 @@ def _dq_matmul_acc(
             h = group // 2
             pu8 = d_ref[c * h : (c + 1) * h, :]
             v_b = pu8.astype(x.dtype)  # |v| ≤ 128, exact in bf16
-            if os.environ["QTPU_UNPACK"] == "lomix":
+            if os.environ.get("QTPU_UNPACK", "lomix") == "lomix":
                 # h_s = (v − lo)/16 ⇒ x_lo@lo + x_hi@h_s =
                 #   (x_lo − x_hi/16)@lo + (x_hi@v)/16.
                 # The 1/16-damped mix keeps bf16 mix rounding ~16× below
@@ -147,7 +161,7 @@ def _dq_matmul_acc(
                 # convert for the big tile's v, but the ×16 mix amplifies
                 # bf16 rounding of the x tile ~16× (measured 2.3% rel
                 # error) — kept for measurement, not for serving.
-                if os.environ["QTPU_UNPACK"] == "vtrick16":
+                if os.environ.get("QTPU_UNPACK") == "vtrick16":
                     hs = jnp.floor(v_b * jnp.asarray(1.0 / 16.0, x.dtype))
                 else:
                     hs = jax.lax.shift_right_arithmetic(

@@ -157,3 +157,107 @@ def pallas_moe_quantized_matmul(
     if pad_m:
         out = out[:, :M]
     return out
+
+
+@partial(
+    jax.jit, static_argnames=("meta", "interpret")
+)
+def pallas_moe_gathered_matmul(
+    x,
+    expert_idx,
+    data,
+    scales,
+    zeros,
+    meta,
+    layer=None,
+    interpret: bool = False,
+):
+    """GATHERED expert dequant-matmul: one grid slot per routed token.
+
+    x: [Gs, K] gathered token rows (slot j = token b's j-th routed
+    expert); expert_idx: [Gs] int32; data [E, Kp, N] or layer-stacked
+    [L, E, Kp, N]. Returns [Gs, N].
+
+    The decode regime the dense soft-dispatch form cannot serve: at
+    B·top_k < E the grouped kernel streams every expert's weights from
+    HBM each step while only B·top_k expert-slots are routed. Here the
+    expert index rides scalar prefetch and every BlockSpec index map
+    addresses the chosen expert's weight block directly — HBM weight
+    traffic is Gs/E of the dense form (modulo repeated experts, which
+    stream once per slot). Same per-program math as the grouped kernel
+    (split dots at bm=1, corrections on the output tile).
+    """
+    bits, group, K, N = meta
+    if group <= 0 or group % 4 != 0 or K % group != 0:
+        raise NotImplementedError("pallas path needs group % 4 == 0 | K")
+    stacked = data.ndim == 4
+    if stacked and layer is None:
+        raise NotImplementedError("[L, E, ...] weights need a layer index")
+    Gs = x.shape[0]
+    _, bn = _choose_blocks(8, K, N)
+    if N % bn:
+        raise NotImplementedError("shapes do not tile")
+    Kp = K // (8 // bits) if bits in (2, 4) else K
+    G = K // group
+    has_zeros = zeros is not None
+
+    grid = (Gs, N // bn)
+    if stacked:
+        w_ix = lambda g, j, e, l: (l[0], e[g], 0, j)
+        w_blk = (None, None, Kp, bn)
+        s_blk = (None, None, G, bn)
+    else:
+        w_ix = lambda g, j, e, *l: (e[g], 0, j)
+        w_blk = (None, Kp, bn)
+        s_blk = (None, G, bn)
+    x_ix = (lambda g, j, e, l: (g, 0)) if stacked else (
+        lambda g, j, e, *l: (g, 0)
+    )
+    o_ix = (lambda g, j, e, l: (g, j)) if stacked else (
+        lambda g, j, e, *l: (g, j)
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, K), x_ix),
+        pl.BlockSpec(w_blk, w_ix),
+        pl.BlockSpec(s_blk, w_ix),
+    ]
+    args = [x, data, scales]
+    if has_zeros:
+        in_specs.append(pl.BlockSpec(s_blk, w_ix))
+        args.append(zeros)
+
+    def kernel(*refs):
+        refs = refs[2:] if stacked else refs[1:]  # drop prefetch refs
+        if has_zeros:
+            x_ref, d_ref, s_ref, z_ref, o_ref = refs
+        else:
+            x_ref, d_ref, s_ref, o_ref = refs
+            z_ref = None
+        _dq_matmul_kernel(
+            x_ref, d_ref, s_ref, z_ref, o_ref, bits=bits, group=group, K=K
+        )
+
+    prefetch = [jnp.asarray(expert_idx, jnp.int32).reshape(Gs)]
+    if stacked:
+        prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=len(prefetch),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bn), o_ix),
+        ),
+        out_shape=jax.ShapeDtypeStruct((Gs, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Gs * K * N,
+            bytes_accessed=Gs * K * 2 + Gs * K * N * bits // 8 + Gs * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*prefetch, *args)
+    return out

@@ -23,6 +23,7 @@ qtpu.models.llama.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -230,11 +231,78 @@ def _routed_stats(act, route_w, capture: str):
     return out
 
 
+def _moe_mlp_gathered(h, lp, cfg: ModelConfig, qm, layer):
+    """Decode-time CAPACITY-GATHERED expert MLP — one kernel slot per
+    routed (token, expert) pair, weights delivered by scalar-prefetch
+    expert index (kernels.pallas_moe_gathered_matmul).
+
+    The latency regime dense soft-dispatch cannot serve: at B·top_k < E
+    the grouped kernel streams ALL E experts' weights per step; here HBM
+    weight traffic is B·top_k/E of that. Numerics match the dense path
+    (same per-site kernel math; combine in f32). Raises
+    NotImplementedError for non-gatherable sites (caller falls back)."""
+    from qtpu.kernels.pallas_moe_matmul import pallas_moe_gathered_matmul
+
+    B, S, D = h.shape
+    k = cfg.num_experts_per_tok
+    for site in ("exp_gate", "exp_up", "exp_down"):
+        p = lp[site]
+        if "w" in p or "codebook" in p or "perm" in p:
+            raise NotImplementedError("gathered MoE path needs packed affine")
+        if qm(site) is None or len(qm(site)) != 4:
+            raise NotImplementedError("gathered MoE path needs qmeta")
+
+    logits = linear(h, lp["router"], qm("router"), layer=layer).astype(
+        jnp.float32
+    )
+    probs = jax.nn.softmax(logits, axis=-1)  # [B,1,E]
+    topv, topi = jax.lax.top_k(probs, k)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    Gs = B * k
+    eidx = topi.reshape(Gs)
+    xrows = jnp.repeat(h.reshape(B, D), k, axis=0)  # [Gs, D]
+
+    def gmm(x, site):
+        p = lp[site]
+        if "smooth" in p:
+            s = p["smooth"] if layer is None else p["smooth"][layer]
+            x = x * s[eidx].astype(x.dtype)
+        return pallas_moe_gathered_matmul(
+            x, eidx, p["data"], p["scales"], p.get("zeros"), qm(site),
+            layer=layer,
+        )
+
+    g = gmm(xrows, "exp_gate")
+    u = gmm(xrows, "exp_up")
+    act = jax.nn.silu(g.astype(jnp.float32)).astype(h.dtype) * u
+    d = gmm(act, "exp_down")  # [Gs, D]
+    out = jnp.sum(
+        topv.reshape(B, k)[..., None] * d.astype(jnp.float32).reshape(B, k, D),
+        axis=1,
+    )
+    return out.astype(h.dtype).reshape(B, S, D)
+
+
 def _moe_mlp(h, lp, cfg: ModelConfig, qm, capture: str = "none", layer=None):
     """Routed expert MLP. Returns (out [B,S,D], exp_down_in stats|None).
     layer: traced index into [L, ...]-stacked params (decode weight
     delivery through the scalar-prefetch grouped kernel), or None when lp
     is already this layer's slice."""
+    B, S = h.shape[:2]
+    if (
+        S == 1
+        and capture == "none"
+        and B * cfg.num_experts_per_tok < cfg.num_experts
+        and "sh_gate" not in lp
+        and jax.default_backend() == "tpu"
+        and os.environ.get("QTPU_MOE_GATHERED", "1") == "1"
+    ):
+        try:
+            out = _moe_mlp_gathered(h, lp, cfg, qm, layer)
+            return out, None, None
+        except NotImplementedError:
+            pass
     route_w = _routing_weights(h, lp, cfg, qm, layer)  # [B,S,E] f32
     g = _expert_matmul(h, lp["exp_gate"], qm("exp_gate"), False, layer)
     u = _expert_matmul(h, lp["exp_up"], qm("exp_up"), False, layer)

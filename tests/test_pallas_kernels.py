@@ -721,3 +721,52 @@ def test_pallas_flash_decode_matches_full():
     err = float(jnp.max(jnp.abs((o_f - o_b).astype(jnp.float32))))
     scale = float(jnp.max(jnp.abs(o_f.astype(jnp.float32)))) + 1e-6
     assert err / scale < 3e-2, (err, scale)
+
+
+def test_pallas_moe_gathered_matmul():
+    """Gathered expert dispatch == per-expert dense reference, including
+    repeated experts and layer-stacked weights."""
+    import jax
+
+    from qtpu.core.packing import dequantize, quantize_pack, QuantizedTensor
+    from qtpu.kernels.pallas_moe_matmul import pallas_moe_gathered_matmul
+
+    E, L, K, N, g = 4, 3, 128, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(5), 2 + E * L)
+    Gs = 6
+    x = jax.random.normal(ks[0], (Gs, K), jnp.bfloat16)
+    eidx = jnp.asarray([2, 0, 2, 3, 1, 2], jnp.int32)  # repeats included
+
+    data, scales, zeros, dq = [], [], [], []
+    for l in range(L):
+        dl, sl, zl, ql = [], [], [], []
+        for e in range(E):
+            w = jax.random.normal(ks[2 + l * E + e], (K, N), jnp.bfloat16) * 0.05
+            qt = quantize_pack(w, 4, g)
+            dl.append(qt.data); sl.append(qt.scales); zl.append(qt.zeros)
+            ql.append(dequantize(qt, jnp.float32))
+        data.append(jnp.stack(dl)); scales.append(jnp.stack(sl))
+        zeros.append(jnp.stack(zl)); dq.append(jnp.stack(ql))
+    data, scales, zeros, dq = map(jnp.stack, (data, scales, zeros, dq))
+    meta = (4, g, K, N)
+
+    for l in (0, 2):
+        got = pallas_moe_gathered_matmul(
+            x, eidx, data, scales, zeros, meta, layer=l, interpret=True
+        )
+        ref = jnp.stack(
+            [x[i].astype(jnp.float32) @ dq[l, int(eidx[i])] for i in range(Gs)]
+        )
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        assert err / scale < 2e-2, (l, err, scale)
+
+    # unstacked [E, ...] form
+    got1 = pallas_moe_gathered_matmul(
+        x, eidx, data[1], scales[1], zeros[1], meta, interpret=True
+    )
+    ref1 = jnp.stack(
+        [x[i].astype(jnp.float32) @ dq[1, int(eidx[i])] for i in range(Gs)]
+    )
+    err = float(jnp.max(jnp.abs(got1.astype(jnp.float32) - ref1)))
+    assert err / (float(jnp.max(jnp.abs(ref1))) + 1e-6) < 2e-2
