@@ -281,17 +281,53 @@ def main():
         num_experts=8,
         num_experts_per_tok=2,
     )
-    if have("moe_8x1b_w4_decode_tokens_per_s"):
+    need_any = not (
+        have("moe_8x1b_w4_decode_tokens_per_s")
+        and have("moe_8x1b_w4_decode_tokens_per_s_b1")
+        and have("moe_8x1b_w4_decode_tokens_per_s_b1_dense")
+        and have("moe_8x1b_w4_decode_tokens_per_s_b2")
+    )
+    if not need_any:
         return 0
     packed_moe, qmeta_moe = tiled_packed_moe(moe_cfg, 4, 128)
-    out["moe_8x1b_w4_decode_tokens_per_s"] = round(
-        decode_tps(
-            packed_moe, qmeta_moe, moe_cfg, B=8, P=128,
-            n_small=1, n_large=3, block=25, arch="moe",
-        ),
-        1,
-    )
-    flush()
+    if not have("moe_8x1b_w4_decode_tokens_per_s"):
+        out["moe_8x1b_w4_decode_tokens_per_s"] = round(
+            decode_tps(
+                packed_moe, qmeta_moe, moe_cfg, B=8, P=128,
+                n_small=1, n_large=3, block=25, arch="moe",
+            ),
+            1,
+        )
+        flush()
+    # latency regime (VERDICT r5 task #7): B·top_k < E — the gathered
+    # per-expert-input dispatch streams only the routed experts' weights
+    # (2/8 at B=1) vs the dense soft-dispatch form streaming all 8
+    for B, key in ((1, "moe_8x1b_w4_decode_tokens_per_s_b1"),
+                   (2, "moe_8x1b_w4_decode_tokens_per_s_b2")):
+        if have(key):
+            continue
+        os.environ["QTPU_MOE_GATHERED"] = "1"
+        jax.clear_caches()
+        out[key] = round(
+            decode_tps(
+                packed_moe, qmeta_moe, moe_cfg, B=B, P=128,
+                n_small=1, n_large=3, block=25, arch="moe",
+            ),
+            1,
+        )
+        flush()
+    if not have("moe_8x1b_w4_decode_tokens_per_s_b1_dense"):
+        os.environ["QTPU_MOE_GATHERED"] = "0"
+        jax.clear_caches()
+        out["moe_8x1b_w4_decode_tokens_per_s_b1_dense"] = round(
+            decode_tps(
+                packed_moe, qmeta_moe, moe_cfg, B=1, P=128,
+                n_small=1, n_large=3, block=25, arch="moe",
+            ),
+            1,
+        )
+        os.environ.pop("QTPU_MOE_GATHERED", None)
+        flush()
     return 0
 
 

@@ -872,3 +872,309 @@ def pallas_decode_attention_flash(
         ks_o.reshape(B, KV, S),
         vs_o.reshape(B, KV, S),
     )
+
+
+def _banded_stacked_kernel(pos_ref, l_ref, *refs, kb, window, SB):
+    # the layer index is consumed by the BlockSpec index maps only
+    _decode_attn_banded_kernel(pos_ref, *refs, kb=kb, window=window, SB=SB)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("window", "interpret"),
+    donate_argnums=(3, 4, 5, 6),
+)
+def pallas_decode_attention_write_banded_stacked(
+    q, k_new, v_new, k_all, v_all, ks_all, vs_all, pos, layer,
+    window: int = 0, interpret=False,
+):
+    """Banded in-place write+attend against the FULL STACKED cache
+    [L, B, KV, S, hd] with the layer chosen by a prefetched scalar index —
+    the scan-CARRY cache form.
+
+    Why: with the cache as scan xs/ys, XLA stages every layer's k/v slice
+    through dynamic-slice + dynamic-update-slice copies each step —
+    profiled at 43% of the whole B=32 decode loop (r5, 297 of 686 ms),
+    more than attention or the MLP. Here the cache arrays ride the scan
+    carry; this kernel reads layer `layer`'s tiles straight from HBM
+    (scalar-prefetch index maps, zero staging) and writes back only the
+    8-row band holding each sequence's position via input/output
+    aliasing. Same math/contract as pallas_decode_attention_write_banded,
+    with k_all/v_all [L, B, KV, S, hd] int8 and ks_all/vs_all
+    [L, B, KV, S] f32 donated and returned updated."""
+    B, H, hd = q.shape
+    L, KV, S = k_all.shape[0], k_all.shape[2], k_all.shape[3]
+    if H % KV or S % 8 or hd % 8:
+        raise NotImplementedError("decode attention needs H%KV==0, S%8==0")
+    SB = 128 if S % 128 == 0 else S
+    G = H // KV
+    q4 = q.reshape(B, KV, G, hd)
+    kn = jnp.swapaxes(k_new, 1, 2)  # [B, KV, 1, hd]
+    vn = jnp.swapaxes(v_new, 1, 2)
+
+    kb = max(
+        1, min(KV, (5 * 1024 * 1024) // max(2 * S * hd + 2 * S * 4, 1), 32)
+    )
+    while KV % kb:
+        kb -= 1
+
+    def ix(b, h, pos, l):
+        return (b, h, 0, 0)
+
+    def ixc(b, h, pos, l):
+        return (l[0], b, h, 0, 0)
+
+    def ixc_band(b, h, pos, l):
+        return (l[0], b, h, jnp.clip(pos[b], 0, S - 1) // 8, 0)
+
+    def ixs(b, h, pos, l):
+        return (l[0], b, h, 0, 0)
+
+    def ixs_band(b, h, pos, l):
+        return (l[0], b, h, 0, jnp.clip(pos[b], 0, S - 1) // SB)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, KV // kb),
+        in_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((1, kb, 1, hd), ix),
+            pl.BlockSpec((None, 1, kb, S, hd), ixc),
+            pl.BlockSpec((None, 1, kb, S, hd), ixc),
+            pl.BlockSpec((None, 1, None, kb, S), ixs),
+            pl.BlockSpec((None, 1, None, kb, S), ixs),
+            pl.BlockSpec((None, 1, kb, 8, hd), ixc_band),
+            pl.BlockSpec((None, 1, kb, 8, hd), ixc_band),
+            pl.BlockSpec((None, 1, None, kb, SB), ixs_band),
+            pl.BlockSpec((None, 1, None, kb, SB), ixs_band),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kb, G, hd), ix),
+            pl.BlockSpec((None, 1, kb, 8, hd), ixc_band),
+            pl.BlockSpec((None, 1, kb, 8, hd), ixc_band),
+            pl.BlockSpec((None, 1, None, kb, SB), ixs_band),
+            pl.BlockSpec((None, 1, None, kb, SB), ixs_band),
+        ],
+    )
+    ks5 = ks_all.reshape(L, B, KV // kb, kb, S)
+    vs5 = vs_all.reshape(L, B, KV // kb, kb, S)
+    out, k_o, v_o, ks_o, vs_o = pl.pallas_call(
+        partial(
+            _banded_stacked_kernel, kb=kb, window=int(window), SB=SB
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+            jax.ShapeDtypeStruct((L, B, KV, S, hd), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, KV, S, hd), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, KV // kb, kb, S), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, KV // kb, kb, S), jnp.float32),
+        ],
+        # flat input indices count the two scalar-prefetch operands
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
+        interpret=interpret,
+    )(
+        pos.astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        q4,
+        kn,
+        vn,
+        k_all,
+        v_all,
+        ks5,
+        vs5,
+        k_all,
+        v_all,
+        ks5,
+        vs5,
+    )
+    return (
+        out.reshape(B, H, hd),
+        k_o,
+        v_o,
+        ks_o.reshape(L, B, KV, S),
+        vs_o.reshape(L, B, KV, S),
+    )
+
+
+def _band_write_kernel(
+    pos_ref, l_ref, kn_ref, vn_ref,
+    kb_ref, vb_ref, ksb_ref, vsb_ref,
+    ko_ref, vo_ref, kso_ref, vso_ref,
+    *, kb, SB, S,
+):
+    """Quantize this step's k/v rows and write them into the 8-row band
+    (and SB-lane scale band) holding each sequence's position. Pure band
+    traffic; every cache operand is passed ONCE and aliased band-in →
+    band-out, so XLA keeps the full arrays in place (the write+attend
+    kernels' duplicate full+band operands forced whole-cache protective
+    copies when the cache rode a scan carry — measured 10× at B=32)."""
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    active = pos < S
+    band = jnp.clip(pos, 0, S - 1) // 8 * 8
+    sband = jnp.clip(pos, 0, S - 1) // SB * SB
+    hd = kn_ref.shape[3]
+    in_band = jax.lax.broadcasted_iota(jnp.int32, (8, hd), 0) == pos - band
+    in_sband = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, SB), 1)[0] == pos - sband
+    )
+    for j in range(kb):
+        kn = kn_ref[0, j, 0].astype(jnp.float32)  # [hd]
+        vn = vn_ref[0, j, 0].astype(jnp.float32)
+        k_sc = jnp.clip(jnp.max(jnp.abs(kn)) / 127.0, 1e-8, None)
+        v_sc = jnp.clip(jnp.max(jnp.abs(vn)) / 127.0, 1e-8, None)
+        kq = jnp.clip(jnp.round(kn / k_sc), -127, 127)
+        vq = jnp.clip(jnp.round(vn / v_sc), -127, 127)
+        wr = jnp.logical_and(in_band, active)
+        ko_ref[0, j] = jnp.where(wr, kq.astype(jnp.int8)[None, :], kb_ref[0, j])
+        vo_ref[0, j] = jnp.where(wr, vq.astype(jnp.int8)[None, :], vb_ref[0, j])
+        wr_s = jnp.logical_and(in_sband, active)
+        kso_ref[0, j] = jnp.where(
+            wr_s, k_sc, ksb_ref[0, j].astype(jnp.float32)
+        )
+        vso_ref[0, j] = jnp.where(
+            wr_s, v_sc, vsb_ref[0, j].astype(jnp.float32)
+        )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("interpret",),
+    donate_argnums=(2, 3, 4, 5),
+)
+def pallas_cache_band_write_stacked(
+    k_new, v_new, k_all, v_all, ks_all, vs_all, pos, layer, interpret=False
+):
+    """Write one decode step's k/v into layer `layer` of the FULL STACKED
+    cache [L, B, KV, S, hd] — in place, touching only the position bands.
+    k_new/v_new [B, 1, KV, hd] (post-rope); ks_all/vs_all [L, B, KV, S]
+    f32. Rows with pos ≥ S write nothing. Returns the updated arrays
+    (donated)."""
+    B = k_new.shape[0]
+    L, KV, S = k_all.shape[0], k_all.shape[2], k_all.shape[3]
+    if S % 8 or k_all.shape[4] % 8:
+        raise NotImplementedError("cache band write needs S % 8 == 0")
+    SB = 128 if S % 128 == 0 else S
+    kn = jnp.swapaxes(k_new, 1, 2)  # [B, KV, 1, hd]
+    vn = jnp.swapaxes(v_new, 1, 2)
+    kb = KV
+
+    def ix(b, pos, l):
+        return (b, 0, 0, 0)
+
+    def ixc_band(b, pos, l):
+        return (l[0], b, 0, jnp.clip(pos[b], 0, S - 1) // 8, 0)
+
+    def ixs_band(b, pos, l):
+        return (l[0], b, 0, 0, jnp.clip(pos[b], 0, S - 1) // SB)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, kb, 1, k_all.shape[4]), ix),
+            pl.BlockSpec((1, kb, 1, k_all.shape[4]), ix),
+            pl.BlockSpec((None, 1, kb, 8, k_all.shape[4]), ixc_band),
+            pl.BlockSpec((None, 1, kb, 8, k_all.shape[4]), ixc_band),
+            pl.BlockSpec((None, 1, None, kb, SB), ixs_band),
+            pl.BlockSpec((None, 1, None, kb, SB), ixs_band),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, 1, kb, 8, k_all.shape[4]), ixc_band),
+            pl.BlockSpec((None, 1, kb, 8, k_all.shape[4]), ixc_band),
+            pl.BlockSpec((None, 1, None, kb, SB), ixs_band),
+            pl.BlockSpec((None, 1, None, kb, SB), ixs_band),
+        ],
+    )
+    ks5 = ks_all.reshape(L, B, KV // kb, kb, S)
+    vs5 = vs_all.reshape(L, B, KV // kb, kb, S)
+    k_o, v_o, ks_o, vs_o = pl.pallas_call(
+        partial(_band_write_kernel, kb=kb, SB=SB, S=S),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(ks5.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs5.shape, jnp.float32),
+        ],
+        # each cache operand passed once: band view in, band view out,
+        # full buffer aliased (prefetch operands count from 0)
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=interpret,
+    )(
+        pos.astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        kn,
+        vn,
+        k_all,
+        v_all,
+        ks5,
+        vs5,
+    )
+    return (
+        k_o, v_o,
+        ks_o.reshape(L, B, KV, S), vs_o.reshape(L, B, KV, S),
+    )
+
+
+def _attn_stacked_kernel(pos_ref, l_ref, *refs, bb, kb, window):
+    _decode_attn_kernel(pos_ref, *refs, bb=bb, kb=kb, window=window)
+
+
+@partial(jax.jit, static_argnames=("window", "interpret"))
+def pallas_decode_attention_stacked(
+    q, k_all, v_all, ks_all, vs_all, pos, layer, window: int = 0,
+    interpret=False,
+):
+    """Read-only int8-cache decode attention against the FULL STACKED
+    cache [L, B, KV, S, hd], layer chosen by a prefetched index — the
+    attention half of the scan-carry cache path (zero staging copies;
+    pair with pallas_cache_band_write_stacked). Same math as
+    pallas_decode_attention."""
+    B, H, hd = q.shape
+    L, KV, S = k_all.shape[0], k_all.shape[2], k_all.shape[3]
+    if H % KV or S % 8 or hd % 8:
+        raise NotImplementedError("decode attention needs H%KV==0, S%8==0")
+    G = H // KV
+    q4 = q.reshape(B, KV, G, hd)
+    bb, kb = _pick_blocks(B, KV, S, hd, 2 * S * hd, 2 * S * 4)
+
+    def ix(b, h, pos, l):
+        return (b, h, 0, 0)
+
+    def ixc(b, h, pos, l):
+        return (l[0], b, h, 0, 0)
+
+    def ixs(b, h, pos, l):
+        return (l[0], b, h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // bb, KV // kb),
+        in_specs=[
+            pl.BlockSpec((bb, kb, G, hd), ix),
+            pl.BlockSpec((None, bb, kb, S, hd), ixc),
+            pl.BlockSpec((None, bb, kb, S, hd), ixc),
+            pl.BlockSpec((None, bb, None, kb, S), ixs),
+            pl.BlockSpec((None, bb, None, kb, S), ixs),
+        ],
+        out_specs=pl.BlockSpec((bb, kb, G, hd), ix),
+    )
+
+    out = pl.pallas_call(
+        partial(_attn_stacked_kernel, bb=bb, kb=kb, window=int(window)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+        interpret=interpret,
+    )(
+        pos.astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        q4,
+        k_all,
+        v_all,
+        ks_all.reshape(L, B, KV // kb, kb, S),
+        vs_all.reshape(L, B, KV // kb, kb, S),
+    )
+    return out.reshape(B, H, hd)

@@ -404,6 +404,80 @@ def _mlp_block(x, layers, l, mlp_norm, cfg: ModelConfig, qm):
     return x + linear(act, layers["down_proj"], qm("down_proj"), layer=l)
 
 
+def _try_carry_scan(x, layers, cache, start, rope, mask, cfg, qmeta_d):
+    """Decode layer scan with the int8 KV cache as the scan CARRY instead
+    of xs/ys. With the cache as xs/ys, XLA stages every layer's k/v slice
+    through dynamic-slice + dynamic-update-slice copies each step —
+    profiled at 43% of the whole B=32 decode loop (r5: 297 of 686 ms of
+    device time, more than attention or the MLP, and the source of the
+    0.7 ms 'unattributed' in results/decode_budget.json B32). Here the
+    stacked cache arrays ride the carry and the banded stacked kernel
+    (kernels.pallas_kv_attention) reads the layer's tiles via a
+    scalar-prefetch index and writes only the 8-row position band in
+    place — zero staging traffic. Returns None when the shapes/packing
+    don't fit (caller falls back to the xs/ys scan). QTPU_CACHE_CARRY=0
+    disables."""
+    import os
+
+    if (
+        os.environ.get("QTPU_CACHE_CARRY", "1") != "1"
+        or jax.default_backend() != "tpu"
+        or cache.k_scale is None
+        or cache.per_layer
+    ):
+        return None
+    qm = (lambda s: None) if qmeta_d is None else (lambda s: qmeta_d.get(s))
+    from qtpu.kernels.pallas_kv_attention import (
+        pallas_cache_band_write_stacked,
+        pallas_decode_attention_stacked,
+    )
+
+    B = x.shape[0]
+    L = cache.num_layers
+    S = cache.max_len
+    win = cfg.sliding_window if 0 < cfg.sliding_window < S else 0
+    cos, sin = rope
+
+    def body(carry, xs):
+        xc, kc, vc, ksc, vsc = carry
+        l, an, mn = xs
+        qkv3 = _fused_norm_qkv(xc, layers, l, cfg, qm)
+        if qkv3 is None:
+            h = rms_norm(xc, an, cfg.norm_eps)
+            q, k, v = _qkv(h, layers, cfg, qm, layer=l)
+        else:
+            q, k, v = qkv3
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # band write (in place, band traffic only), then read-only attend
+        # over the updated cache — two kernels so every cache operand is
+        # passed exactly once per kernel and the carry stays un-copied
+        kc, vc, ksc, vsc = pallas_cache_band_write_stacked(
+            k, v, kc, vc, ksc, vsc, start, l
+        )
+        out = pallas_decode_attention_stacked(
+            q[:, 0], kc, vc, ksc, vsc, start, l, window=win
+        )
+        attn = out.reshape(B, 1, -1)
+        xc = _o_proj_resid(attn, xc, layers, l, qm)
+        xc = _mlp_block(xc, layers, l, mn, cfg, qm)
+        return (xc, kc, vc, ksc, vsc), None
+
+    try:
+        (xo, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+            body,
+            (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            (
+                jnp.arange(L, dtype=jnp.int32),
+                layers["attn_norm"],
+                layers["mlp_norm"],
+            ),
+        )
+    except NotImplementedError:
+        return None
+    return xo, (k_new, v_new, ks_new, vs_new)
+
+
 def _layer_fwd_cached(
     x, layers, l, norms, layer_kv, start, rope, mask, cfg: ModelConfig,
     qmeta, cache_in_place: bool = False,
@@ -671,8 +745,15 @@ def forward_with_cache(params, input_ids, positions, cache, cfg: ModelConfig, qm
             boundary = _try_boundary_scan(
                 x, layers, cache_xs, start, rope, mask, cfg, qmeta_d
             )
+        carry = None
+        if boundary is None and mode == "stacked" and T == 1:
+            carry = _try_carry_scan(
+                x, layers, cache, start, rope, mask, cfg, qmeta_d
+            )
         if boundary is not None:
             x, (k_new, v_new, ks_new, vs_new) = boundary
+        elif carry is not None:
+            x, (k_new, v_new, ks_new, vs_new) = carry
         else:
             if mode == "stacked":
                 def body(x, xs):

@@ -770,3 +770,104 @@ def test_pallas_moe_gathered_matmul():
     )
     err = float(jnp.max(jnp.abs(got1.astype(jnp.float32) - ref1)))
     assert err / (float(jnp.max(jnp.abs(ref1))) + 1e-6) < 2e-2
+
+
+def test_pallas_banded_stacked_matches_per_layer():
+    """Stacked-cache banded kernel (scan-carry form, prefetched layer
+    index) == the per-layer banded kernel on each layer slice."""
+    import jax
+
+    from qtpu.kernels.pallas_kv_attention import (
+        pallas_decode_attention_write_banded,
+        pallas_decode_attention_write_banded_stacked,
+    )
+
+    Lc, B, KV, G, hd, S = 3, 2, 2, 4, 32, 256
+    H = KV * G
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.bfloat16)
+    k_new = jax.random.normal(ks[1], (B, 1, KV, hd), jnp.bfloat16)
+    v_new = jax.random.normal(ks[2], (B, 1, KV, hd), jnp.bfloat16)
+    k_all = jax.random.randint(ks[3], (Lc, B, KV, S, hd), -127, 127, jnp.int8)
+    v_all = jax.random.randint(ks[4], (Lc, B, KV, S, hd), -127, 127, jnp.int8)
+    ks_all = jnp.abs(jax.random.normal(ks[5], (Lc, B, KV, S))) * 0.01 + 1e-3
+    vs_all = jnp.abs(jax.random.normal(ks[6], (Lc, B, KV, S))) * 0.01 + 1e-3
+    pos = jnp.asarray([40, S + 5], jnp.int32)  # one active, one inactive
+
+    for l in (0, 2):
+        o_ref, kf, vf, ksf, vsf = pallas_decode_attention_write_banded(
+            q, k_new, v_new,
+            jnp.array(k_all[l]), jnp.array(v_all[l]),
+            jnp.array(ks_all[l]), jnp.array(vs_all[l]), pos, interpret=True
+        )
+        o_s, k_o, v_o, ks_o, vs_o = (
+            pallas_decode_attention_write_banded_stacked(
+                q, k_new, v_new,
+                jnp.array(k_all), jnp.array(v_all),
+                jnp.array(ks_all), jnp.array(vs_all), pos, l, interpret=True
+            )
+        )
+        assert jnp.array_equal(kf, k_o[l]), f"k cache mismatch l={l}"
+        assert jnp.array_equal(vf, v_o[l]), f"v cache mismatch l={l}"
+        assert jnp.array_equal(ksf, ks_o[l]), f"ks mismatch l={l}"
+        assert jnp.array_equal(vsf, vs_o[l]), f"vs mismatch l={l}"
+        # other layers untouched
+        for m in range(Lc):
+            if m != l:
+                assert jnp.array_equal(k_o[m], k_all[m]), (l, m)
+                assert jnp.array_equal(vs_o[m], vs_all[m]), (l, m)
+        err = float(jnp.max(jnp.abs((o_ref - o_s).astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(o_ref.astype(jnp.float32)))) + 1e-6
+        assert err / scale < 1e-6, (l, err, scale)
+
+
+def test_pallas_band_write_plus_stacked_attend():
+    """The scan-carry pair (band write kernel + read-only stacked
+    attention) == the fused per-layer write+attend kernel: identical
+    post-step cache, attention equal within int8-quantization tolerance
+    of the new token's row (the fused kernel attends it in bf16)."""
+    import jax
+
+    from qtpu.kernels.pallas_kv_attention import (
+        pallas_cache_band_write_stacked,
+        pallas_decode_attention_stacked,
+        pallas_decode_attention_write,
+    )
+
+    Lc, B, KV, G, hd, S = 3, 4, 2, 4, 32, 256
+    H = KV * G
+    ks = jax.random.split(jax.random.PRNGKey(9), 8)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.bfloat16)
+    k_new = jax.random.normal(ks[1], (B, 1, KV, hd), jnp.bfloat16)
+    v_new = jax.random.normal(ks[2], (B, 1, KV, hd), jnp.bfloat16)
+    k_all = jax.random.randint(ks[3], (Lc, B, KV, S, hd), -127, 127, jnp.int8)
+    v_all = jax.random.randint(ks[4], (Lc, B, KV, S, hd), -127, 127, jnp.int8)
+    ks_all = jnp.abs(jax.random.normal(ks[5], (Lc, B, KV, S))) * 0.01 + 1e-3
+    vs_all = jnp.abs(jax.random.normal(ks[6], (Lc, B, KV, S))) * 0.01 + 1e-3
+    pos = jnp.asarray([7, 100, 255, S + 5], jnp.int32)  # last inactive
+
+    l = 1
+    o_f, kf, vf, ksf, vsf = pallas_decode_attention_write(
+        q, k_new, v_new,
+        jnp.array(k_all[l]), jnp.array(v_all[l]),
+        jnp.array(ks_all[l]), jnp.array(vs_all[l]), pos, interpret=True
+    )
+    k_o, v_o, ks_o, vs_o = pallas_cache_band_write_stacked(
+        k_new, v_new, jnp.array(k_all), jnp.array(v_all),
+        jnp.array(ks_all), jnp.array(vs_all), pos, l, interpret=True
+    )
+    assert jnp.array_equal(kf, k_o[l]), "k cache mismatch"
+    assert jnp.array_equal(vf, v_o[l]), "v cache mismatch"
+    assert jnp.array_equal(ksf, ks_o[l]), "ks mismatch"
+    assert jnp.array_equal(vsf, vs_o[l]), "vs mismatch"
+    for m in range(Lc):
+        if m != l:
+            assert jnp.array_equal(k_o[m], k_all[m]), m
+            assert jnp.array_equal(ks_o[m], ks_all[m]), m
+
+    o_s = pallas_decode_attention_stacked(
+        q, k_o, v_o, ks_o, vs_o, pos, l, interpret=True
+    )
+    err = float(jnp.max(jnp.abs((o_f - o_s).astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(o_f.astype(jnp.float32)))) + 1e-6
+    assert err / scale < 3e-2, (err, scale)
