@@ -1,0 +1,61 @@
+"""Second-process serving cold start (VERDICT r5 task #6): with the
+persistent compilation cache populated by a previous process (any
+bench_extra / serve run), a FRESH process builds the engine and serves
+its first load — the deploy-restart scenario. Appends
+batcher_mean_ttft_cold_disk_s / batcher_tokens_per_s_cold_disk to
+results/perf_tpu.json.
+
+Run AFTER a bench_extra batcher run: timeout 1800 python tools/exp_cold_start.py
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    from qtpu.models import TINYLLAMA_1_1B
+    from qtpu.bench.synth import tiled_packed_llama
+    from qtpu.serve.batching import ContinuousBatcher
+
+    cfg = TINYLLAMA_1_1B
+    t_start = time.perf_counter()
+    packed, qmeta = tiled_packed_llama(cfg, 4, 128)
+    eng = ContinuousBatcher(
+        packed, cfg, qmeta=qmeta, max_batch=12, max_seq_len=512,
+        kv_dtype="int8", decode_block=16, prefill_chunk=384,
+    )
+    rng = np.random.default_rng(0)
+    for _ in range(24):
+        plen = int(rng.integers(16, 384))
+        eng.submit(
+            rng.integers(0, cfg.vocab_size, (plen,), dtype=np.int64),
+            max_new_tokens=64,
+        )
+    t0 = time.perf_counter()
+    eng.run()
+    dt = time.perf_counter() - t0
+    m = eng.metrics()
+    row = {
+        "batcher_mean_ttft_cold_disk_s": round(m["mean_ttft_s"], 4),
+        "batcher_tokens_per_s_cold_disk": round(m["total_tokens"] / dt, 1),
+        "process_start_to_done_s": round(time.perf_counter() - t_start, 1),
+    }
+    path = "/root/repo/results/perf_tpu.json"
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except FileNotFoundError:
+        data = {}
+    data.update(row)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(row))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
