@@ -710,6 +710,12 @@ def _decode_attn_flash_kernel(
     if window > 0:
         valid &= s_idx > pos - window
 
+    # PHASE-SPLIT body (r5): all band writes → all score dots → all
+    # softmax updates → all pv dots. The per-head dot→softmax→dot chain
+    # serialized the tiny MXU issues (the r4 lesson from the short-S
+    # kernels, 2.2× at B=32, never applied here); phasing also lets the
+    # v-tile DMA overlap the score phase. Live state is kb [G, SBLK] f32
+    # score tiles (kb·G·SBLK·4 ≈ 256 KB at default shapes).
     for j in range(kb):
         kn = kn_ref[0, j, 0].astype(jnp.float32)  # [hd]
         vn = vn_ref[0, j, 0].astype(jnp.float32)
@@ -735,31 +741,45 @@ def _decode_attn_flash_kernel(
                 wr_s, v_sc, vs_ref[0, j].astype(jnp.float32)
             )
 
-        q = q_ref[0, j]  # [G, hd] bf16
-        ks = ks_ref[0, j].astype(jnp.float32)  # [SBLK]
-        scores = jax.lax.dot_general(
-            q, k_ref[0, j].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [G, SBLK]
-        scores = scores * ks[None, :] * inv_sqrt
-        scores = jnp.where(valid, scores, -1e30)
+    scores_all = []
+    for j in range(kb):  # phase: all score dots back-to-back
+        scores_all.append(
+            jax.lax.dot_general(
+                q_ref[0, j], k_ref[0, j].astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, SBLK]
+        )
 
+    ea = []
+    for j in range(kb):  # phase: all softmax updates (pure VPU)
+        ks = ks_ref[0, j].astype(jnp.float32)  # [SBLK]
+        scores = scores_all[j] * ks[None, :] * inv_sqrt
+        scores = jnp.where(valid, scores, -1e30)
         m_prev = m_scr[j]  # [G, 1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         e = jnp.exp(scores - m_new)
         vs = vs_ref[0, j].astype(jnp.float32)
         pv = (e * vs[None, :]).astype(jnp.bfloat16)
+        l_scr[j] = l_scr[j] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        m_scr[j] = m_new
+        ea.append((pv, alpha))
+
+    for j in range(kb):  # phase: all pv dots + acc updates
+        pv, alpha = ea[j]
         part = jnp.dot(
             pv, v_ref[0, j].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )  # [G, hd]
         acc_scr[j] = acc_scr[j] * alpha + part
-        l_scr[j] = l_scr[j] * alpha + jnp.sum(e, axis=-1, keepdims=True)
-        m_scr[j] = m_new
 
-        @pl.when(s == NS - 1)
-        def _final(j=j, kn=kn, vn=vn, q=q):
+    @pl.when(s == NS - 1)
+    def _final():
+        for j in range(kb):
+            kn = kn_ref[0, j, 0].astype(jnp.float32)
+            vn = vn_ref[0, j, 0].astype(jnp.float32)
+            q = q_ref[0, j]
             s_new = (
                 jnp.sum(
                     q.astype(jnp.float32) * kn[None, :], axis=1, keepdims=True

@@ -210,19 +210,23 @@ def pallas_moe_gathered_matmul(
         w_ix = lambda g, j, e, *l: (e[g], 0, j)
         w_blk = (None, Kp, bn)
         s_blk = (None, G, bn)
-    x_ix = (lambda g, j, e, l: (g, 0)) if stacked else (
-        lambda g, j, e, *l: (g, 0)
+    # x/out ride as [Gs, 1, .]: a (1, K) block of a 2D [Gs, K] array has
+    # sublane dim 1 which Mosaic only allows when it equals the full dim;
+    # the explicit singleton axis (squeezed by None) makes the trailing
+    # block dims (1, K) == full dims for any Gs
+    x_ix = (lambda g, j, e, l: (g, 0, 0)) if stacked else (
+        lambda g, j, e, *l: (g, 0, 0)
     )
-    o_ix = (lambda g, j, e, l: (g, j)) if stacked else (
-        lambda g, j, e, *l: (g, j)
+    o_ix = (lambda g, j, e, l: (g, 0, j)) if stacked else (
+        lambda g, j, e, *l: (g, 0, j)
     )
 
     in_specs = [
-        pl.BlockSpec((1, K), x_ix),
+        pl.BlockSpec((None, 1, K), x_ix),
         pl.BlockSpec(w_blk, w_ix),
         pl.BlockSpec(s_blk, w_ix),
     ]
-    args = [x, data, scales]
+    args = [x.reshape(Gs, 1, K), data, scales]
     if has_zeros:
         in_specs.append(pl.BlockSpec(s_blk, w_ix))
         args.append(zeros)
@@ -247,9 +251,9 @@ def pallas_moe_gathered_matmul(
             num_scalar_prefetch=len(prefetch),
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, bn), o_ix),
+            out_specs=pl.BlockSpec((None, 1, bn), o_ix),
         ),
-        out_shape=jax.ShapeDtypeStruct((Gs, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Gs, 1, N), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "parallel"),
         ),
@@ -260,4 +264,4 @@ def pallas_moe_gathered_matmul(
         ),
         interpret=interpret,
     )(*prefetch, *args)
-    return out
+    return out.reshape(Gs, N)

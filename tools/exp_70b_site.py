@@ -30,7 +30,7 @@ def peak_mb():
 
 
 def main():
-    from qtpu.calib.stats import channel_stats
+    from qtpu.models.ops import channel_stats
     from qtpu.core.packing import quantize_pack
     from qtpu.quant.gptq import (
         gptq_column_sweep,
