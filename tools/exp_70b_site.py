@@ -29,6 +29,19 @@ def peak_mb():
     return None
 
 
+def live_mb():
+    """Resident device bytes across live jax arrays — the fallback memory
+    accounting when the relay backend exposes no memory_stats() (peak_mb
+    returns None there). Understates transient peaks inside a program but
+    bounds the steady-state footprint between phases."""
+    try:
+        return round(
+            sum(a.nbytes for a in jax.live_arrays()) / 1e6, 1
+        )
+    except Exception:
+        return None
+
+
 def main():
     from qtpu.models.ops import channel_stats
     from qtpu.core.packing import quantize_pack
@@ -43,18 +56,23 @@ def main():
     k1, k2, k3 = jax.random.split(key, 3)
 
     # phase 0: capture — the per-channel stats a calibration forward
-    # produces for this input site (proxy-Hessian mode: S mean-abs rows)
+    # produces for this input site (proxy-Hessian mode: S mean-abs rows).
+    # Data generation is timed separately: it stands in for the model
+    # forward, whose cost results/gptq_calib_budget.json already budgets.
     t0 = time.perf_counter()
     acts = jax.random.normal(k1, (S, 512, C), jnp.bfloat16)  # [S, T, C]
-    vecs = []
-    for i in range(S):
-        mean_abs, _ = channel_stats(acts[i][None])
-        vecs.append(mean_abs[0])
+    acts.block_until_ready()
+    row["datagen_s"] = round(time.perf_counter() - t0, 3)
+    stats1 = jax.jit(lambda a: channel_stats(a[None])[0])
+    stats1(acts[0]).block_until_ready()  # compile outside the timing
+    t0 = time.perf_counter()
+    vecs = [stats1(acts[i]) for i in range(S)]  # [C] per sample
     v = jnp.stack(vecs).astype(jnp.float32)  # [S, C]
     float(jnp.sum(v))
     row["capture_s"] = round(time.perf_counter() - t0, 3)
     del acts
     row["peak_mb_after_capture"] = peak_mb()
+    row["live_mb_after_capture"] = live_mb()
 
     # phase 1: O(C·S²) low-rank prepare → U [C, C] (3.29 GB f32)
     prep = jax.jit(lambda v: gptq_prepare_factor_lowrank(v, 0.01))
@@ -65,12 +83,13 @@ def main():
     float(jnp.sum(U[:1, :8]))
     row["prepare_lowrank_s"] = round(time.perf_counter() - t0, 3)
     row["peak_mb_after_prepare"] = peak_mb()
+    row["live_mb_after_prepare"] = live_mb()
 
     # phase 2: error-compensated column sweep over the full [N, C] site
     W = jax.random.normal(k2, (N, C), jnp.float32) * 0.02
 
     def sweep(W, U):
-        return gptq_column_sweep(W, U, 4, 128, 128)[0]
+        return gptq_column_sweep(W, U, 4, 128, 128)
 
     sw = jax.jit(sweep)
     Q = sw(W, U)
@@ -80,6 +99,7 @@ def main():
     float(jnp.sum(Q[:1, :8]))
     row["sweep_s"] = round(time.perf_counter() - t0, 3)
     row["peak_mb_after_sweep"] = peak_mb()
+    row["live_mb_after_sweep"] = live_mb()
 
     # phase 3: packed int4 export ([C, N] orientation, group-halves)
     pk = jax.jit(lambda Q: quantize_pack(Q.T.astype(jnp.float32), 4, 128))
@@ -90,6 +110,7 @@ def main():
     float(jnp.sum(qt.data[:1, :8].astype(jnp.float32)))
     row["pack_export_s"] = round(time.perf_counter() - t0, 3)
     row["peak_mb"] = peak_mb()
+    row["live_mb"] = live_mb()
     row["packed_mb"] = round(
         (qt.data.nbytes + qt.scales.nbytes + qt.zeros.nbytes) / 1e6, 1
     )
