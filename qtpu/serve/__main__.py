@@ -81,6 +81,12 @@ def main(argv=None) -> int:
     if args.http:
         from qtpu.serve.http import ServingFrontend, make_server
 
+        # warm the program zoo before opening the port: with the disk
+        # compilation cache populated this is seconds of deserialization,
+        # and the first requests see warm-path TTFT (deploy restart)
+        t_w = time.perf_counter()
+        eng.warmup()
+        print(f"engine warmup {time.perf_counter() - t_w:.1f}s")
         frontend = ServingFrontend(eng)
         server = make_server(frontend, args.http)
         print(f"serving on http://127.0.0.1:{server.server_address[1]} "

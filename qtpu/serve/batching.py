@@ -255,6 +255,70 @@ class ContinuousBatcher:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def warmup(self, include_sampling: bool = False) -> float:
+        """Pre-build the engine's program zoo before serving traffic — the
+        deploy-restart path. With the persistent compilation cache warm on
+        disk (utils.compcache), every program here deserializes instead of
+        compiling, so a restarted server reaches warm-TTFT service in the
+        seconds this method takes rather than paying a deserialization (or
+        worse, a compile) inside the first requests' TTFT.
+
+        Runs each (admission-width × chunk-bucket × decode) engine-step
+        program plus the drain-mode decode blocks once on a donated
+        scratch cache; the live cache and RNG stream are untouched, so a
+        warmed engine produces bit-identical outputs to a cold one.
+        Returns wall seconds."""
+        t0 = time.perf_counter()
+        per_layer = self.cache.per_layer
+        scratch = jax.tree_util.tree_map(jnp.zeros_like, self.cache)
+        wkey = jax.random.PRNGKey(0x5EED)
+        B = self.max_batch
+        dec_tokens = jnp.zeros((B,), jnp.int32)
+        dec_pos = jnp.zeros((B,), jnp.int32)
+        dtemps = jnp.zeros((B,), jnp.float32)
+        # drain-mode decode blocks (step() escalates to 32/64 when every
+        # active slot has that many tokens left)
+        blocks = sorted(
+            {self.decode_block}
+            | {b for b in (32, 64) if b > self.decode_block}
+        )
+        for blk in blocks:
+            for temps in ((None, dtemps) if include_sampling else (None,)):
+                toks, scratch = decode_multi(
+                    self.params, dec_tokens, dec_pos, scratch, temps,
+                    wkey, self.cfg, blk, self.qmeta, arch=self.arch,
+                )
+        # fused admission+decode steps over the bucketed shape grid. Tb
+        # never exceeds a real prompt's length (< max_seq_len), so cap
+        # the warm set — a wider program would be dead weight and can
+        # even be uncompilable (chunk wider than the cache)
+        chunk = self.prefill_chunk
+        tb_cap = min(chunk, self.max_seq_len)
+        tbs = sorted({
+            min(_bucket(x), tb_cap)
+            for x in (16, 32, 64, 128, 256, 512, chunk)
+        })
+        Ps = sorted({1, min(16, self.prefill_parallel, B)})
+        for P in Ps:
+            idxs = jnp.arange(P, dtype=jnp.int32)
+            starts = jnp.zeros((P,), jnp.int32)
+            first_cols = jnp.zeros((P,), jnp.int32)
+            ptemps = jnp.zeros((P,), jnp.float32)
+            for Tb in tbs:
+                ids = jnp.zeros((P, Tb), jnp.int32)
+                for do_decode in (False, True):
+                    for samp in ((False, True) if include_sampling else (False,)):
+                        firsts, toks, scratch = _fused_step(
+                            self.params, scratch, ids, starts, idxs,
+                            first_cols, ptemps, dec_tokens, dec_pos,
+                            dtemps, wkey, self.cfg, self.qmeta,
+                            self.decode_block, do_decode, samp,
+                            per_layer, self.arch,
+                        )
+        jax.block_until_ready(firsts)
+        del scratch
+        return time.perf_counter() - t0
+
     # ----------------------------------------------------------- client API
     def submit(self, prompt_ids, max_new_tokens: int = 64, temperature: float = 0.0):
         req = Request(

@@ -30,6 +30,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     d = os.path.expanduser(cache_dir or env or "~/.cache/qtpu_xla")
     import jax
 
+    # only persist for TPU backends by default: XLA:CPU AOT entries embed
+    # host machine features and reload with SIGILL-risk warnings when the
+    # detected feature set differs (observed on this image); CPU compiles
+    # are cheap anyway. Set QTPU_COMPILE_CACHE=<path> to force-enable.
+    if not env and jax.default_backend() != "tpu":
+        return None
+
     try:
         jax.config.update("jax_compilation_cache_dir", d)
         # cache everything: the zoo is many small-to-medium programs and

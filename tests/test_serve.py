@@ -390,3 +390,29 @@ def test_batcher_per_layer_layout():
     for r in reqs:
         assert r.done and len(r.output) == 6
         assert all(0 <= t < cfg.vocab_size for t in r.output)
+
+
+def test_batcher_warmup_identical_outputs(setup):
+    """warmup() pre-builds the program zoo on a scratch cache without
+    touching the live cache or RNG stream: a warmed engine's outputs must
+    be bit-identical to a cold engine's on the same workload."""
+    cfg, params = setup
+    prompts = [
+        np.asarray(
+            jax.random.randint(
+                jax.random.PRNGKey(30 + i), (6 + i,), 0, cfg.vocab_size
+            )
+        )
+        for i in range(3)
+    ]
+
+    def run(warm):
+        eng = ContinuousBatcher(params, cfg, max_batch=2, max_seq_len=128)
+        if warm:
+            dt = eng.warmup()
+            assert dt > 0.0
+        reqs = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        eng.run()
+        return [r.output for r in reqs]
+
+    assert run(False) == run(True)

@@ -192,40 +192,44 @@ def bench_matmuls(layers, qmeta_d, B, mode):
 
 
 def bench_attn_cache(B, S=512):
-    """write+attend across L layers (int8 cache), via the model's fused
-    path, per decode step."""
-    from qtpu.models.llama import _write_and_attend
+    """Band-write + read-only stacked attend across L layers — the exact
+    cache-carry kernels the shipped decode runs (llama._try_carry_scan),
+    with the int8 cache riding the scan CARRY (zero staging traffic).
+    Before r5 this bench scanned the cache as xs/ys, which charged the
+    attention row for dynamic-slice staging the real fused step no longer
+    pays — the source of the artifact's negative unattributed_ms."""
+    from qtpu.kernels.pallas_kv_attention import (
+        pallas_cache_band_write_stacked,
+        pallas_decode_attention_stacked,
+    )
     from qtpu.serve.kvcache import init_cache as _ic
 
     cache = _ic(cfg, B, S, quantized=True)
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     start = jnp.full((B,), S - 9, jnp.int32)
-    kpos = jnp.arange(cache.max_len)
-    mask = kpos[None, None, :] <= start[:, None, None]
 
     @partial(jax.jit, static_argnames=("n",))
-    def chain(q0, k0, v0, cache, n):
+    def chain(q0, k0, v0, kc0, vc0, ksc0, vsc0, n):
         def step(carry, _):
-            q, k, v, (ck, cv, cks, cvs) = carry
-
-            def body(x, xs):
-                kc, vc, ksc, vsc = xs
-                attn, lkv = _write_and_attend(
-                    q * (1.0 + 1e-6 * x[0, 0, 0]), k, v,
-                    (kc, vc, ksc, vsc), start, mask, cfg,
+            def body(c, l):
+                q, kc, vc, ksc, vsc = c
+                k = k0 * (1.0 + 1e-6 * q[0, 0, 0, 0])  # data dependence
+                kc, vc, ksc, vsc = pallas_cache_band_write_stacked(
+                    k, v0, kc, vc, ksc, vsc, start, l
                 )
-                return attn, lkv
+                out = pallas_decode_attention_stacked(
+                    q[:, 0], kc, vc, ksc, vsc, start, l
+                )
+                q = q + 1e-9 * out.reshape(q.shape)
+                return (q, kc, vc, ksc, vsc), None
 
-            attn, (ck, cv, cks, cvs) = jax.lax.scan(
-                body, jnp.zeros_like(q).reshape(B, 1, -1), (ck, cv, cks, cvs)
+            carry, _ = jax.lax.scan(
+                body, carry, jnp.arange(L, dtype=jnp.int32)
             )
-            # data dependence: next q perturbed by this output
-            q = q + 1e-9 * attn.reshape(q.shape)
-            return (q, k, v, (ck, cv, cks, cvs)), None
+            return carry, None
 
         carry, _ = jax.lax.scan(
-            step, (q0, k0, v0, (cache.k, cache.v, cache.k_scale, cache.v_scale)),
-            None, length=n,
+            step, (q0, kc0, vc0, ksc0, vsc0), None, length=n
         )
         return carry[0]
 
@@ -234,7 +238,9 @@ def bench_attn_cache(B, S=512):
     v0 = jnp.ones((B, 1, KV, hd), jnp.bfloat16) * 0.02
 
     def run(n):
-        out = chain(q0, k0, v0, cache, n)
+        out = chain(
+            q0, k0, v0, cache.k, cache.v, cache.k_scale, cache.v_scale, n
+        )
         float(jnp.sum(out.astype(jnp.float32)))
 
     return timed_steps(run, 2, 60)
@@ -481,8 +487,10 @@ def main():
         put("attn_cache_ms", bench_attn_cache(B))
         put("lm_head_packed_ms", bench_lm_head(packed, qmeta_d, B))
         put("glue_ms", bench_glue(packed, B))
+        # the shipped decode is the cache-carry scan with STACKED weight
+        # delivery (llama._try_carry_scan) — sum the parts it actually runs
         acc = (
-            row["matmuls_packed_staged_ms"]
+            row["matmuls_packed_stacked_ms"]
             + row["attn_cache_ms"]
             + row["lm_head_packed_ms"]
             + row["glue_ms"]
