@@ -117,11 +117,45 @@ def _nearest_level(x: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:
     return best_v
 
 
+def apot_quantize_tensor(
+    w: jnp.ndarray,
+    n_bit: int = 4,
+    q_group_size: int = -1,
+    k: int = 2,
+    grid: tuple = (0.01, 2.01, 0.05),
+    grid_values: tuple | None = None,
+) -> jnp.ndarray:
+    """Chunked dispatcher for `_apot_quantize_tensor_jit`: splits grouped
+    rows into bounded programs (pot._SCAN_CHUNK_ELEMS — the candidate-scan
+    quantizers crash the v5e worker above ~2^25 f32 elements/program)."""
+    from qtpu.quant.pot import _SCAN_CHUNK_ELEMS
+
+    if q_group_size <= 0 or w.size <= _SCAN_CHUNK_ELEMS:
+        return _apot_quantize_tensor_jit(
+            w, n_bit=n_bit, q_group_size=q_group_size, k=k, grid=grid,
+            grid_values=grid_values,
+        )
+    orig_shape = w.shape
+    g = q_group_size
+    if orig_shape[-1] % g != 0:
+        raise ValueError(f"last dim {orig_shape[-1]} % group {g} != 0")
+    flat = w.reshape(-1, g)
+    rows = max(1, (_SCAN_CHUNK_ELEMS // g // 8) * 8)
+    outs = [
+        _apot_quantize_tensor_jit(
+            flat[i : i + rows], n_bit=n_bit, q_group_size=g, k=k,
+            grid=grid, grid_values=grid_values,
+        )
+        for i in range(0, flat.shape[0], rows)
+    ]
+    return jnp.concatenate(outs, axis=0).reshape(orig_shape)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_bit", "q_group_size", "k", "grid", "grid_values"),
 )
-def apot_quantize_tensor(
+def _apot_quantize_tensor_jit(
     w: jnp.ndarray,
     n_bit: int = 4,
     q_group_size: int = -1,
@@ -186,11 +220,44 @@ def _nearest_index(x: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:
     return best_i
 
 
+def apot_quantize_codes(
+    w_kn: jnp.ndarray,
+    n_bit: int = 4,
+    group_size: int = 128,
+    k: int = 2,
+    grid: tuple = (0.01, 2.01, 0.05),
+    grid_values: tuple | None = None,
+):
+    """Chunked dispatcher for `_apot_quantize_codes_jit`: splits the
+    independent N columns into bounded programs (see
+    pot._SCAN_CHUNK_ELEMS); bit-identical to the single-program result.
+    The codebook is shape-independent, so the first chunk's is returned."""
+    from qtpu.quant.pot import _SCAN_CHUNK_ELEMS, _codes_col_chunks
+
+    K, N = w_kn.shape
+    step = _codes_col_chunks(N, K)
+    if step >= N:
+        return _apot_quantize_codes_jit(
+            w_kn, n_bit=n_bit, group_size=group_size, k=k, grid=grid,
+            grid_values=grid_values,
+        )
+    outs = [
+        _apot_quantize_codes_jit(
+            w_kn[:, i : i + step], n_bit=n_bit, group_size=group_size,
+            k=k, grid=grid, grid_values=grid_values,
+        )
+        for i in range(0, N, step)
+    ]
+    codes = jnp.concatenate([o[0] for o in outs], axis=1)
+    scales = jnp.concatenate([o[1] for o in outs], axis=1)
+    return codes, scales, outs[0][2]
+
+
 @partial(
     jax.jit,
     static_argnames=("n_bit", "group_size", "k", "grid", "grid_values"),
 )
-def apot_quantize_codes(
+def _apot_quantize_codes_jit(
     w_kn: jnp.ndarray,
     n_bit: int = 4,
     group_size: int = 128,

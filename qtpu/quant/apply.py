@@ -183,6 +183,7 @@ def quantize_model(
                 pot_quantize_tensor,
                 w,
                 has_l,
+                per_layer=True,
                 n_bit=w_bit,
                 q_group_size=g,
                 grid_values=gv,
@@ -199,6 +200,7 @@ def quantize_model(
                 apot_quantize_tensor,
                 w,
                 has_l,
+                per_layer=True,
                 n_bit=w_bit,
                 q_group_size=g,
                 k=k,
@@ -400,14 +402,22 @@ def quantize_model(
     return _map_sites(params, fn, arch_mod, stats)
 
 
-def _vt(tensor_fn, w, has_l, **kw):
+def _vt(tensor_fn, w, has_l, per_layer=False, **kw):
     """Apply an [out,in]-oriented tensor quantizer to [.., K, N] weights,
-    vmapping over the layer axis when present."""
+    vmapping over the layer axis when present. per_layer=True dispatches
+    one device program per layer instead of vmapping — required for the
+    POT/APOT candidate-scan quantizers, whose programs crash the v5e TPU
+    worker when an outer vmap/scan multiplies their size (see
+    quant.pot._SCAN_CHUNK_ELEMS)."""
 
     def one(w_kn):
         return tensor_fn(w_kn.T, **kw).T
 
-    return jax.vmap(one)(w) if has_l else one(w)
+    if not has_l:
+        return one(w)
+    if per_layer:
+        return jnp.stack([one(w[l]) for l in range(w.shape[0])])
+    return jax.vmap(one)(w)
 
 
 def pack_model(
@@ -568,7 +578,20 @@ def pack_model(
                     "codebook": cb,
                 }
 
-            p = jax.vmap(cb_one)(w) if has_l else cb_one(w)
+            if has_l:
+                # one DEVICE PROGRAM PER LAYER, not vmap/lax.map: wrapping
+                # the ~200-candidate scale-search scan in any outer
+                # vmap/scan crashes the v5e TPU worker ("kernel fault") at
+                # the fused-gateup site (22×2048×11264 — reproduced r5
+                # even at lax.map batch_size=1), while the bare per-layer
+                # program runs fine. pot/apot_quantize_codes are jitted,
+                # so 22 same-shape calls compile once and redispatch.
+                outs = [cb_one(w[l]) for l in range(w.shape[0])]
+                p = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *outs
+                )
+            else:
+                p = cb_one(w)
             metas[site] = (w_bit, g, w.shape[-2], w.shape[-1])
             return p
         elif method == "gptq":

@@ -194,10 +194,59 @@ def _scale_search(w, s0, candidates, e_max_idx, axis):
     return best
 
 
+# Per-program size cap for the candidate-scan quantizers. The ~200-step
+# scale-search scan crashes the v5e TPU worker ("kernel fault", reproduced
+# r5) once a single program holds roughly 2^25 f32 weight elements:
+# lm_head [2048, 32000] dies deterministically while gateup [2048, 11264]
+# survives. Scale groups tile K and columns are independent, so the public
+# entry points below split the work into <= 2^24-element programs —
+# bit-identical results, bounded program size. An outer vmap/lax.map over
+# layers hits the same wall (22-layer vmap AND lax.map batch_size=1 both
+# crashed), which is why quant.apply dispatches per-layer python calls.
+_SCAN_CHUNK_ELEMS = 1 << 24
+
+
+def _codes_col_chunks(N, K):
+    import math
+
+    n_chunks = max(1, math.ceil(K * N / _SCAN_CHUNK_ELEMS))
+    return math.ceil(N / n_chunks)
+
+
+def pot_quantize_tensor(
+    w: jnp.ndarray,
+    n_bit: int = 4,
+    q_group_size: int = -1,
+    grid: tuple = (0.01, 2.01, 0.01),
+    grid_values: tuple | None = None,
+) -> jnp.ndarray:
+    """Chunked dispatcher for `_pot_quantize_tensor_jit` (see
+    _SCAN_CHUNK_ELEMS): splits the grouped rows into bounded programs."""
+    if q_group_size <= 0 or w.size <= _SCAN_CHUNK_ELEMS:
+        return _pot_quantize_tensor_jit(
+            w, n_bit=n_bit, q_group_size=q_group_size, grid=grid,
+            grid_values=grid_values,
+        )
+    orig_shape = w.shape
+    g = q_group_size
+    if orig_shape[-1] % g != 0:
+        raise ValueError(f"last dim {orig_shape[-1]} % group {g} != 0")
+    flat = w.reshape(-1, g)
+    rows = max(1, (_SCAN_CHUNK_ELEMS // g // 8) * 8)
+    outs = [
+        _pot_quantize_tensor_jit(
+            flat[i : i + rows], n_bit=n_bit, q_group_size=g, grid=grid,
+            grid_values=grid_values,
+        )
+        for i in range(0, flat.shape[0], rows)
+    ]
+    return jnp.concatenate(outs, axis=0).reshape(orig_shape)
+
+
 @partial(
     jax.jit, static_argnames=("n_bit", "q_group_size", "grid", "grid_values")
 )
-def pot_quantize_tensor(
+def _pot_quantize_tensor_jit(
     w: jnp.ndarray,
     n_bit: int = 4,
     q_group_size: int = -1,
@@ -251,10 +300,37 @@ def pot_codebook(n_bit: int) -> jnp.ndarray:
     return jnp.concatenate([pos, -pos])
 
 
+def pot_quantize_codes(
+    w_kn: jnp.ndarray,
+    n_bit: int = 4,
+    group_size: int = 128,
+    grid: tuple = (0.01, 2.01, 0.01),
+    grid_values: tuple | None = None,
+):
+    """Chunked dispatcher for `_pot_quantize_codes_jit` (see
+    _SCAN_CHUNK_ELEMS): splits the independent N columns into bounded
+    programs; bit-identical to the single-program result."""
+    K, N = w_kn.shape
+    step = _codes_col_chunks(N, K)
+    if step >= N:
+        return _pot_quantize_codes_jit(
+            w_kn, n_bit=n_bit, group_size=group_size, grid=grid,
+            grid_values=grid_values,
+        )
+    outs = [
+        _pot_quantize_codes_jit(
+            w_kn[:, i : i + step], n_bit=n_bit, group_size=group_size,
+            grid=grid, grid_values=grid_values,
+        )
+        for i in range(0, N, step)
+    ]
+    return tuple(jnp.concatenate(p, axis=1) for p in zip(*outs))
+
+
 @partial(
     jax.jit, static_argnames=("n_bit", "group_size", "grid", "grid_values")
 )
-def pot_quantize_codes(
+def _pot_quantize_codes_jit(
     w_kn: jnp.ndarray,
     n_bit: int = 4,
     group_size: int = 128,
