@@ -100,3 +100,31 @@ def test_apot_better_than_pot_at_same_bits(rng):
     mse_p = float(jnp.mean((qp - w) ** 2))
     mse_a = float(jnp.mean((qa - w) ** 2))
     assert mse_a < mse_p
+
+
+def test_chunked_dispatch_bit_identical(rng, monkeypatch):
+    """The _SCAN_CHUNK_ELEMS program-size cap (added after the candidate
+    scan crashed the v5e worker at lm_head scale) must not change a single
+    bit: force tiny chunks and compare against the one-program result."""
+    import qtpu.quant.pot as pot_mod
+    from qtpu.quant.apot import apot_quantize_codes, apot_quantize_tensor
+
+    w = jax.random.normal(rng, (256, 384), jnp.float32) * 0.02
+    ref_t = pot_mod.pot_quantize_tensor(w, n_bit=4, q_group_size=128)
+    ref_c, ref_s = pot_mod.pot_quantize_codes(w, 4, 128)
+    ref_at = apot_quantize_tensor(w, n_bit=4, q_group_size=128, k=2)
+    ref_ac, ref_as, ref_cb = apot_quantize_codes(w, 4, 128, 2)
+
+    monkeypatch.setattr(pot_mod, "_SCAN_CHUNK_ELEMS", 256 * 128)
+    got_t = pot_mod.pot_quantize_tensor(w, n_bit=4, q_group_size=128)
+    got_c, got_s = pot_mod.pot_quantize_codes(w, 4, 128)
+    got_at = apot_quantize_tensor(w, n_bit=4, q_group_size=128, k=2)
+    got_ac, got_as, got_cb = apot_quantize_codes(w, 4, 128, 2)
+
+    np.testing.assert_array_equal(np.asarray(ref_t), np.asarray(got_t))
+    np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(got_c))
+    np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
+    np.testing.assert_array_equal(np.asarray(ref_at), np.asarray(got_at))
+    np.testing.assert_array_equal(np.asarray(ref_ac), np.asarray(got_ac))
+    np.testing.assert_array_equal(np.asarray(ref_as), np.asarray(got_as))
+    np.testing.assert_array_equal(np.asarray(ref_cb), np.asarray(got_cb))
