@@ -18,6 +18,7 @@ notes on host RNG/transfer rates).
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -265,6 +266,8 @@ def main():
 
     # MoE decode: Mixtral-style 8-expert model, every expert's packed
     # weights streamed by ONE grouped kernel launch per site per layer
+    import jax
+
     from qtpu.bench.synth import tiled_packed_moe
     from qtpu.models.config import ModelConfig
 
