@@ -315,7 +315,11 @@ class ContinuousBatcher:
                             self.decode_block, do_decode, samp,
                             per_layer, self.arch,
                         )
-        jax.block_until_ready(firsts)
+        # real host readback: on relay-attached TPUs block_until_ready
+        # returns without fencing, so without this the warmup burst is
+        # still draining when serving starts and the FIRST request's
+        # readback absorbs it (measured: flat 3.3 s TTFT across wave 1)
+        float(jnp.sum(firsts)) + float(jnp.sum(toks))
         del scratch
         return time.perf_counter() - t0
 
